@@ -1,0 +1,69 @@
+"""mlis_tpu — TPU-native multi-level indoor SLAM benchmarking & semantic gating.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of the reference
+suite `wadewilliamsw1234/Multi-level-Indoor-SLAM` (see /root/reference):
+floor detection (IMU + LiDAR), semantic loop-closure gating, visual place
+recognition (MixVPR / SALAD / AnyLoc / CricaVPR), geometric verification
+(SuperPoint + LightGlue / LoFTR + batched RANSAC), trajectory evaluation
+(Umeyama ATE/RPE), and reporting — all designed TPU-first: batched, static
+shapes, MXU-friendly GEMMs, Pallas kernels for hot paths, and
+`jax.sharding` meshes for scale-out.
+
+The public API mirrors the reference package surface
+(`scripts/semantic_gating/__init__.py:22-86` in the reference) so a user of
+the reference can find every symbol here, but the implementations are new.
+"""
+
+__version__ = "0.1.0"
+
+# Re-exports assembled lazily to keep import light; heavy model modules are
+# imported on first attribute access.
+from mlis_tpu.config import GatingConfig, PipelineConfig  # noqa: F401
+
+_LAZY = {
+    # floor detection
+    "IMUFloorDetector": "mlis_tpu.gating.floor_detector",
+    "ElevatorEvent": "mlis_tpu.gating.floor_detector",
+    "LiDARFloorTracker": "mlis_tpu.gating.lidar_floor_tracker",
+    "FloorEstimate": "mlis_tpu.gating.lidar_floor_tracker",
+    "MultiModalFloorDetector": "mlis_tpu.gating.fusion",
+    # gate
+    "SemanticLoopClosureGate": "mlis_tpu.gating.gate",
+    "LoopClosureCandidate": "mlis_tpu.gating.gate",
+    "ContextualPriorFactor": "mlis_tpu.gating.gate",
+    # pipeline + integrations
+    "SemanticGatingPipeline": "mlis_tpu.gating.pipeline",
+    "ORBSlam3SemanticIntegration": "mlis_tpu.gating.integration",
+    "DroidSlamSemanticIntegration": "mlis_tpu.gating.integration",
+    "LegoLoamSemanticIntegration": "mlis_tpu.gating.integration",
+    # VPR
+    "BasePlaceRecognition": "mlis_tpu.gating.place_recognition",
+    "PlaceMatch": "mlis_tpu.gating.place_recognition",
+    "PlaceDescriptor": "mlis_tpu.gating.place_recognition",
+    "SemanticPlaceRecognition": "mlis_tpu.gating.place_recognition",
+    "MixVPR": "mlis_tpu.models.mixvpr",
+    "SALAD": "mlis_tpu.models.salad",
+    "AnyLoc": "mlis_tpu.models.anyloc",
+    "CricaVPR": "mlis_tpu.models.cricavpr",
+    # geometric verification
+    "BaseFeatureMatcher": "mlis_tpu.gating.verification",
+    "MatchResult": "mlis_tpu.gating.verification",
+    "LightGlue": "mlis_tpu.models.lightglue",
+    "SuperGlue": "mlis_tpu.models.lightglue",
+    "LoFTR": "mlis_tpu.models.loftr",
+    "GeometricVerifier": "mlis_tpu.gating.verification",
+    "SemanticGeometricVerifier": "mlis_tpu.gating.verification",
+}
+
+
+def __getattr__(name):
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'mlis_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
