@@ -9,12 +9,21 @@ import os
 
 _platform = os.environ.get("MLIS_TEST_PLATFORM", "cpu")
 if _platform == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Force CPU even when the ambient environment points JAX at a TPU
+    # plugin: the suite must be deterministic, must not contend for the
+    # single-tenant TPU, and needs 8 virtual devices for sharding tests.
+    # The environment's sitecustomize may force jax_platforms to the TPU
+    # plugin at interpreter start, so the env var alone is not enough —
+    # override the config after import, before any backend initializes.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
