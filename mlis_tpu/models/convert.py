@@ -1,0 +1,153 @@
+"""Torch checkpoint -> Flax params converters.
+
+The reference downloads pretrained torch weights (torchvision ResNet-50,
+facebookresearch DINOv2) at runtime; in this framework the equivalent is an
+offline conversion of a torch `state_dict` into the Flax param trees of
+models/resnet.py and models/vit.py. Tensors are accepted as torch tensors
+or numpy arrays (state dicts loaded with torch.load(..., map_location='cpu')
+or np.load both work).
+
+Layout conventions converted:
+  torch Conv2d weight (O, I, kh, kw)  -> flax (kh, kw, I, O)
+  torch Linear weight (O, I)          -> flax kernel (I, O)
+  BatchNorm running_mean/var          -> FrozenBatchNorm mean/var params
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def _linear(w) -> np.ndarray:
+    return _np(w).T
+
+
+def _bn(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+
+
+def convert_resnet_torch(
+    state_dict: Mapping[str, Any], template: Dict[str, Any]
+) -> Dict[str, Any]:
+    """torchvision-style ResNet state_dict -> models/resnet.ResNet params.
+
+    Handles arbitrary stage crops: converts exactly the layers present in
+    `template` (the Flax param tree from init).
+    """
+    sd = state_dict
+    out: Dict[str, Any] = {}
+    out["stem_conv"] = {"kernel": _conv(sd["conv1.weight"])}
+    out["stem_bn"] = _bn(sd, "bn1")
+
+    for name, sub in template.items():
+        if not name.startswith("layer"):
+            continue
+        stage_block = name[len("layer") :]  # e.g. "1_0"
+        stage, block = stage_block.split("_")
+        tp = f"layer{stage}.{block}"
+        entry = {
+            "conv1": {"kernel": _conv(sd[f"{tp}.conv1.weight"])},
+            "bn1": _bn(sd, f"{tp}.bn1"),
+            "conv2": {"kernel": _conv(sd[f"{tp}.conv2.weight"])},
+            "bn2": _bn(sd, f"{tp}.bn2"),
+            "conv3": {"kernel": _conv(sd[f"{tp}.conv3.weight"])},
+            "bn3": _bn(sd, f"{tp}.bn3"),
+        }
+        if f"{tp}.downsample.0.weight" in sd:
+            entry["downsample_conv"] = {
+                "kernel": _conv(sd[f"{tp}.downsample.0.weight"])
+            }
+            entry["downsample_bn"] = _bn(sd, f"{tp}.downsample.1")
+        out[name] = entry
+
+    return _match_dtypes(out, template)
+
+
+def convert_dinov2_torch(
+    state_dict: Mapping[str, Any], template: Dict[str, Any]
+) -> Dict[str, Any]:
+    """facebookresearch/dinov2 ViT state_dict -> models/vit.ViT params."""
+    sd = state_dict
+    out: Dict[str, Any] = {}
+    out["patch_embed"] = {
+        "kernel": _conv(sd["patch_embed.proj.weight"]),
+        "bias": _np(sd["patch_embed.proj.bias"]),
+    }
+    out["cls_token"] = _np(sd["cls_token"])
+    out["pos_embed"] = _np(sd["pos_embed"])
+    if "register_tokens" in sd and "register_tokens" in template:
+        out["register_tokens"] = _np(sd["register_tokens"])
+
+    depth = sum(1 for k in template if k.startswith("block"))
+    for i in range(depth):
+        tp = f"blocks.{i}"
+        out[f"block{i}"] = {
+            "norm1": {
+                "scale": _np(sd[f"{tp}.norm1.weight"]),
+                "bias": _np(sd[f"{tp}.norm1.bias"]),
+            },
+            "attn": {
+                "qkv": {
+                    "kernel": _linear(sd[f"{tp}.attn.qkv.weight"]),
+                    "bias": _np(sd[f"{tp}.attn.qkv.bias"]),
+                },
+                "proj": {
+                    "kernel": _linear(sd[f"{tp}.attn.proj.weight"]),
+                    "bias": _np(sd[f"{tp}.attn.proj.bias"]),
+                },
+            },
+            "ls1": {"gamma": _np(sd[f"{tp}.ls1.gamma"])},
+            "norm2": {
+                "scale": _np(sd[f"{tp}.norm2.weight"]),
+                "bias": _np(sd[f"{tp}.norm2.bias"]),
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": _linear(sd[f"{tp}.mlp.fc1.weight"]),
+                    "bias": _np(sd[f"{tp}.mlp.fc1.bias"]),
+                },
+                "fc2": {
+                    "kernel": _linear(sd[f"{tp}.mlp.fc2.weight"]),
+                    "bias": _np(sd[f"{tp}.mlp.fc2.bias"]),
+                },
+            },
+            "ls2": {"gamma": _np(sd[f"{tp}.ls2.gamma"])},
+        }
+    out["norm"] = {
+        "scale": _np(sd["norm.weight"]),
+        "bias": _np(sd["norm.bias"]),
+    }
+    return _match_dtypes(out, template)
+
+
+def _match_dtypes(new: Any, template: Any) -> Any:
+    """Cast converted arrays to the template's dtypes and assert shapes."""
+    if isinstance(template, Mapping):
+        out = {}
+        for k, tv in template.items():
+            if k not in new:
+                raise KeyError(f"converted params missing {k!r}")
+            out[k] = _match_dtypes(new[k], tv)
+        return out
+    arr = np.asarray(new)
+    t = np.asarray(template)
+    if arr.shape != t.shape:
+        raise ValueError(f"shape mismatch: got {arr.shape}, expected {t.shape}")
+    return arr.astype(t.dtype)

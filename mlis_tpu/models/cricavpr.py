@@ -1,0 +1,109 @@
+"""CricaVPR: DINOv2 ViT-B/14 + GeM pooling + cross-image correlation rerank.
+
+The reference treats CricaVPR as its strongest perceptual-aliasing VPR
+(place_recognition.py:508-803): 322x322 input (14-divisible), 10752-d
+descriptor slot, per-image patch-feature cache, and a rerank stage that
+combines the global cosine score with a bidirectional patch-correlation
+score (0.5/0.5 mix, :714-757). The fallback implementation the reference
+actually ships is DINOv2 + GeM p=3 (:634-641) — that is the descriptor path
+here, with the patch cache + correlation rerank implemented as batched
+jitted ops rather than a per-candidate Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlis_tpu.gating.place_recognition import PlaceMatch
+from mlis_tpu.models.base import JaxEncoderVPR, fit_descriptor_dim
+from mlis_tpu.models.vit import ViT, ViTConfig
+from mlis_tpu.ops.image import preprocess_imagenet
+from mlis_tpu.ops.pooling import cross_correlation_scores_batch, gem_pool
+
+
+class CricaVPR(JaxEncoderVPR):
+    input_size = (322, 322)  # 23x23 patch grid
+
+    def __init__(
+        self,
+        descriptor_dim: int = 10752,
+        seed: int = 0,
+        use_reranking: bool = True,
+        vit_cfg: Optional[ViTConfig] = None,
+        rerank_weight: float = 0.5,
+        input_size=None,
+        **kw,
+    ):
+        super().__init__(descriptor_dim=descriptor_dim, seed=seed)
+        if input_size is not None:
+            self.input_size = tuple(input_size)
+        self.use_reranking = use_reranking
+        self.rerank_weight = rerank_weight
+        cfg = vit_cfg or ViTConfig.dinov2_vitb14()
+        self.module = ViT(cfg)
+        dummy = jnp.zeros((1, *self.input_size, 3), jnp.float32)
+        self.params = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.patch_cache: List[np.ndarray] = []  # (N_patches, D) per image
+        self._jit_full = None
+
+    # descriptor = GeM(patch tokens); patch tokens cached for reranking
+    def _forward_full(self, params, images):
+        out = self.module.apply(params, images)
+        patches = out["patches"].astype(jnp.float32)
+        desc = gem_pool(patches, p=3.0)
+        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+        return fit_descriptor_dim(desc, self.descriptor_dim), patches
+
+    def _forward(self, params, images):
+        return self._forward_full(params, images)[0]
+
+    def encode_batch(self, images: np.ndarray) -> np.ndarray:
+        if self._jit_full is None:
+            self._jit_full = jax.jit(self._forward_full)
+        x = preprocess_imagenet(jnp.asarray(images), self.input_size)
+        desc, patches = self._jit_full(self.params, x)
+        patches = np.asarray(patches, dtype=np.float32)
+        for i in range(patches.shape[0]):
+            self.patch_cache.append(patches[i])
+        return np.asarray(desc, dtype=np.float32)
+
+    # -- reranking (reference :714-757) ----------------------------------------
+    def rerank_candidates(
+        self, query_idx: int, matches: List[PlaceMatch], top_k: Optional[int] = None
+    ) -> List[PlaceMatch]:
+        """Re-score matches: 0.5 * global + 0.5 * patch cross-correlation."""
+        if not self.use_reranking or not matches:
+            return matches
+        if query_idx >= len(self.patch_cache):
+            return matches
+        qp = jnp.asarray(self.patch_cache[query_idx])
+        cand = jnp.stack(
+            [jnp.asarray(self.patch_cache[m.match_idx]) for m in matches]
+        )
+        cc = np.asarray(cross_correlation_scores_batch(qp, cand))
+        w = self.rerank_weight
+        rescored = []
+        for m, c in zip(matches, cc):
+            rescored.append(
+                PlaceMatch(
+                    query_idx=m.query_idx,
+                    match_idx=m.match_idx,
+                    similarity=float((1 - w) * m.similarity + w * float(c)),
+                    query_timestamp=m.query_timestamp,
+                    match_timestamp=m.match_timestamp,
+                    is_valid=m.is_valid,
+                )
+            )
+        rescored.sort(key=lambda m: -m.similarity)
+        return rescored[: top_k or len(rescored)]
+
+    def load_torch_state_dict(self, state_dict) -> None:
+        from mlis_tpu.models.convert import convert_dinov2_torch
+
+        self.params = {"params": convert_dinov2_torch(state_dict, self.params["params"])}
+        self._jit_forward = None
+        self._jit_full = None

@@ -1,0 +1,125 @@
+"""Fused multi-head attention as a Pallas TPU kernel.
+
+One kernel invocation per (batch * head): QK^T, numerically-stable softmax,
+and PV run entirely in VMEM with no HBM intermediate for the (S, S) score
+matrix. At the sequence lengths this framework runs (ViT-B/14 on 322-518 px
+images: 530-1370 tokens; LightGlue: <=2048 keypoints) the whole tile fits
+VMEM, so a single-block fused kernel is the right shape — flash-style
+KV streaming would only add loop overhead.
+
+Falls back to a jnp reference implementation off-TPU (and under interpret
+mode for tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, out_ref):
+    q = q_ref[0].astype(jnp.float32)  # (S, Dh)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _attention_bias_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    scores = scores + bias_ref[0].astype(jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _reference_attention(q, k, v, bias=None):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum(
+        "bsd,btd->bst", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bst,btd->bsd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def fused_attention(
+    q: jnp.ndarray,  # (BH, S, Dh)
+    k: jnp.ndarray,  # (BH, T, Dh)
+    v: jnp.ndarray,  # (BH, T, Dh)
+    bias: Optional[jnp.ndarray] = None,  # (BH, S, T) additive, e.g. -inf mask
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Scaled-dot-product attention, fused on TPU."""
+    if not use_pallas:
+        return _reference_attention(q, k, v, bias)
+
+    BH, S, Dh = q.shape
+    T = k.shape[1]
+    grid = (BH,)
+    common = dict(
+        grid=grid,
+        out_specs=pl.BlockSpec((1, S, Dh), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, S, Dh), q.dtype),
+        interpret=not _on_tpu(),  # pallas path stays testable on CPU
+    )
+    qspec = pl.BlockSpec((1, S, Dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, T, Dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    if bias is None:
+        return pl.pallas_call(
+            _attention_kernel,
+            in_specs=[qspec, kspec, kspec],
+            **common,
+        )(q, k, v)
+    bspec = pl.BlockSpec((1, S, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _attention_bias_kernel,
+        in_specs=[qspec, kspec, kspec, bspec],
+        **common,
+    )(q, k, v, bias)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,  # (B, S, H, Dh)
+    k: jnp.ndarray,  # (B, T, H, Dh)
+    v: jnp.ndarray,  # (B, T, H, Dh)
+    bias: Optional[jnp.ndarray] = None,  # (B, 1|H, S, T)
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(B, S, H, Dh) attention over flattened (B*H) Pallas grid."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    B, S, H, Dh = q.shape
+    T = k.shape[1]
+
+    def flat(x, L):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, L, Dh)
+
+    bias_f = None
+    if bias is not None:
+        bias_b = jnp.broadcast_to(bias, (B, H, S, T))
+        bias_f = bias_b.reshape(B * H, S, T)
+    out = fused_attention(flat(q, S), flat(k, T), flat(v, T), bias_f, use_pallas)
+    return out.reshape(B, H, S, Dh).transpose(0, 2, 1, 3)

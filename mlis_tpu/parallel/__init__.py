@@ -1,0 +1,7 @@
+from mlis_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    param_shardings,
+    shard_batch,
+)

@@ -1,0 +1,116 @@
+"""Torch->Flax converter tests using synthetic torch-style state dicts."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mlis_tpu.models.convert import convert_dinov2_torch, convert_resnet_torch
+from mlis_tpu.models.resnet import ResNet, ResNetConfig, init_resnet
+from mlis_tpu.models.vit import ViT, ViTConfig, init_vit
+
+
+def _fake_resnet_sd(rng, cfg: ResNetConfig):
+    """torchvision-style state dict with shapes matching models/resnet.py."""
+    sd = {}
+    w = cfg.width
+    sd["conv1.weight"] = rng.normal(size=(w, 3, 7, 7)).astype(np.float32)
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{k}"] = np.abs(rng.normal(size=w)).astype(np.float32)
+    in_ch = w
+    for stage, n_blocks in enumerate(cfg.stage_sizes[: cfg.crop_stage]):
+        feats = w * (2**stage)
+        for b in range(n_blocks):
+            tp = f"layer{stage + 1}.{b}"
+            sd[f"{tp}.conv1.weight"] = rng.normal(size=(feats, in_ch, 1, 1)).astype(np.float32)
+            sd[f"{tp}.conv2.weight"] = rng.normal(size=(feats, feats, 3, 3)).astype(np.float32)
+            sd[f"{tp}.conv3.weight"] = rng.normal(size=(feats * 4, feats, 1, 1)).astype(np.float32)
+            for i, ch in ((1, feats), (2, feats), (3, feats * 4)):
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{tp}.bn{i}.{k}"] = np.abs(rng.normal(size=ch)).astype(np.float32)
+            if b == 0:
+                sd[f"{tp}.downsample.0.weight"] = rng.normal(
+                    size=(feats * 4, in_ch, 1, 1)
+                ).astype(np.float32)
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{tp}.downsample.1.{k}"] = np.abs(rng.normal(size=feats * 4)).astype(np.float32)
+            in_ch = feats * 4
+    return sd
+
+
+def test_resnet_converter_shapes_and_forward(rng):
+    cfg = ResNetConfig.tiny_test()
+    model, params = init_resnet(cfg, (64, 64))
+    sd = _fake_resnet_sd(rng, cfg)
+    new = convert_resnet_torch(sd, params["params"])
+    out = model.apply({"params": new}, jnp.ones((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out)).all()
+    # converted stem kernel must be the transposed torch weight
+    np.testing.assert_allclose(
+        np.asarray(new["stem_conv"]["kernel"]),
+        sd["conv1.weight"].transpose(2, 3, 1, 0),
+        atol=1e-6,
+    )
+
+
+def _fake_dinov2_sd(rng, cfg: ViTConfig):
+    d = cfg.dim
+    sd = {
+        "patch_embed.proj.weight": rng.normal(size=(d, 3, cfg.patch_size, cfg.patch_size)).astype(np.float32),
+        "patch_embed.proj.bias": rng.normal(size=d).astype(np.float32),
+        "cls_token": rng.normal(size=(1, 1, d)).astype(np.float32),
+        "pos_embed": rng.normal(size=(1, cfg.pos_grid**2 + 1, d)).astype(np.float32),
+        "norm.weight": rng.normal(size=d).astype(np.float32),
+        "norm.bias": rng.normal(size=d).astype(np.float32),
+    }
+    hidden = int(d * cfg.mlp_ratio)
+    for i in range(cfg.depth):
+        tp = f"blocks.{i}"
+        sd[f"{tp}.norm1.weight"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.norm1.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.attn.qkv.weight"] = rng.normal(size=(3 * d, d)).astype(np.float32)
+        sd[f"{tp}.attn.qkv.bias"] = rng.normal(size=3 * d).astype(np.float32)
+        sd[f"{tp}.attn.proj.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+        sd[f"{tp}.attn.proj.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.ls1.gamma"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.norm2.weight"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.norm2.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.mlp.fc1.weight"] = rng.normal(size=(hidden, d)).astype(np.float32)
+        sd[f"{tp}.mlp.fc1.bias"] = rng.normal(size=hidden).astype(np.float32)
+        sd[f"{tp}.mlp.fc2.weight"] = rng.normal(size=(d, hidden)).astype(np.float32)
+        sd[f"{tp}.mlp.fc2.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.ls2.gamma"] = rng.normal(size=d).astype(np.float32)
+    return sd
+
+
+def test_dinov2_converter_forward_and_qkv_layout(rng):
+    cfg = ViTConfig.tiny_test()
+    model, params = init_vit(cfg, (56, 56))
+    sd = _fake_dinov2_sd(rng, cfg)
+    new = convert_dinov2_torch(sd, params["params"])
+    out = model.apply({"params": new}, jnp.ones((1, 56, 56, 3)))
+    assert np.isfinite(np.asarray(out["cls"])).all()
+    # torch Linear does x @ W.T; flax kernel must equal W.T
+    np.testing.assert_allclose(
+        np.asarray(new["block0"]["attn"]["qkv"]["kernel"]),
+        sd["blocks.0.attn.qkv.weight"].T,
+        atol=1e-6,
+    )
+
+
+def test_converter_rejects_shape_mismatch(rng):
+    cfg = ViTConfig.tiny_test()
+    _, params = init_vit(cfg, (56, 56))
+    sd = _fake_dinov2_sd(rng, cfg)
+    sd["cls_token"] = np.zeros((1, 1, 128), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        convert_dinov2_torch(sd, params["params"])
+
+
+def test_converter_accepts_torch_tensors(rng):
+    torch = pytest.importorskip("torch")
+    cfg = ViTConfig.tiny_test()
+    _, params = init_vit(cfg, (56, 56))
+    sd = {k: torch.from_numpy(v) for k, v in _fake_dinov2_sd(rng, cfg).items()}
+    new = convert_dinov2_torch(sd, params["params"])
+    assert new["cls_token"].shape == (1, 1, cfg.dim)

@@ -1,0 +1,129 @@
+"""VPR pipeline tests with tiny-config encoders (CPU-fast)."""
+
+import numpy as np
+import pytest
+
+from mlis_tpu.gating.place_recognition import (
+    BasePlaceRecognition,
+    SemanticPlaceRecognition,
+)
+from mlis_tpu.models.anyloc import AnyLoc
+from mlis_tpu.models.cricavpr import CricaVPR
+from mlis_tpu.models.mixvpr import MixVPR
+from mlis_tpu.models.resnet import ResNetConfig
+from mlis_tpu.models.salad import SALAD
+from mlis_tpu.models.vit import ViTConfig
+
+
+TINY_VIT = ViTConfig.tiny_test()
+TINY_RESNET = ResNetConfig.tiny_test()
+
+
+def _images(rng, n, h=64, w=64):
+    return (rng.uniform(0, 255, size=(n, h, w, 3))).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def tiny_crica():
+    return CricaVPR(descriptor_dim=64, vit_cfg=TINY_VIT, input_size=(56, 56))
+
+
+def test_mixvpr_tiny_descriptor(rng):
+    enc = MixVPR(descriptor_dim=32, backbone_cfg=TINY_RESNET, input_size=(64, 64))
+    d = enc.encode_batch(_images(rng, 3))
+    assert d.shape == (3, 32)
+    assert np.isfinite(d).all()
+
+
+def test_salad_tiny_descriptor(rng):
+    enc = SALAD(
+        vit_cfg=TINY_VIT, input_size=(56, 56),
+        num_clusters=4, cluster_dim=16, token_dim=32,
+    )
+    d = enc.encode_batch(_images(rng, 2, 60, 80))
+    assert d.shape == (2, 4 * 16 + 32)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, rtol=1e-3)
+
+
+def test_anyloc_tiny_vlad(rng):
+    enc = AnyLoc(vit_cfg=TINY_VIT, num_clusters=4, input_size=(56, 56))
+    d = enc.encode_batch(_images(rng, 2))
+    assert d.shape == (2, 4 * 64)
+    enc.fit_vocabulary(_images(rng, 2), iters=2)
+    d2 = enc.encode_batch(_images(rng, 2))
+    assert d2.shape == (2, 4 * 64)
+
+
+def test_cricavpr_descriptor_and_patch_cache(rng, tiny_crica):
+    d = tiny_crica.encode_batch(_images(rng, 3, 56, 56))
+    assert d.shape == (3, 64)
+    assert len(tiny_crica.patch_cache) >= 3
+    assert tiny_crica.patch_cache[0].shape == (16, 64)  # 4x4 grid of dim 64
+
+
+def test_cricavpr_rerank_prefers_identical_patches(rng, tiny_crica):
+    from mlis_tpu.gating.place_recognition import PlaceMatch
+
+    n0 = len(tiny_crica.patch_cache)
+    imgs = _images(rng, 2, 56, 56)
+    both = np.concatenate([imgs, imgs[:1]])  # image 0 duplicated at idx 2
+    tiny_crica.encode_batch(both)
+    matches = [
+        PlaceMatch(query_idx=n0 + 0, match_idx=n0 + 1, similarity=0.9),
+        PlaceMatch(query_idx=n0 + 0, match_idx=n0 + 2, similarity=0.9),
+    ]
+    rr = tiny_crica.rerank_candidates(n0 + 0, matches)
+    # the duplicate (identical patches) must outrank the different image
+    assert rr[0].match_idx == n0 + 2
+
+
+def test_semantic_place_recognition_gating_demo(rng):
+    """Mirrors the reference demo (place_recognition.py:994-1039): random
+    descriptors on two floors; same-place pairs get near-identical
+    descriptors; cross-floor lookalikes must be flagged invalid."""
+    spr = SemanticPlaceRecognition(
+        vpr_method=BasePlaceRecognition(descriptor_dim=64),
+        similarity_threshold=0.5,
+        min_time_gap=10.0,
+    )
+    rng_ = np.random.default_rng(0)
+    base_a = rng_.normal(size=64)
+    base_b = rng_.normal(size=64)
+
+    # floor 5: two visits to place A separated in time (true loop closure)
+    spr.vpr.add_descriptor(base_a + rng_.normal(scale=0.01, size=64), 0.0, 5)
+    spr.vpr.add_descriptor(rng_.normal(size=64), 30.0, 5)
+    spr.vpr.add_descriptor(base_a + rng_.normal(scale=0.01, size=64), 60.0, 5)
+    # floor 2: perceptual alias of place A (cross-floor lookalike)
+    spr.vpr.add_descriptor(base_a + rng_.normal(scale=0.01, size=64), 120.0, 2)
+    spr.vpr.add_descriptor(base_b, 150.0, 2)
+
+    matches = spr.find_loop_closures(enable_floor_gating=True, k=4)
+    assert matches, "lookalikes above threshold expected"
+    valid = [m for m in matches if m.is_valid]
+    invalid = [m for m in matches if not m.is_valid]
+    # true same-floor revisit survives
+    assert any({m.query_idx, m.match_idx} == {0, 2} for m in valid)
+    # cross-floor alias rejected
+    assert any({m.query_idx, m.match_idx} == {0, 3} or {m.query_idx, m.match_idx} == {2, 3} for m in invalid)
+
+    stats = spr.get_statistics(matches)
+    assert stats["total_matches"] == len(matches)
+    assert stats["rejected_matches"] == len(invalid)
+    assert 0 < stats["rejection_rate"] < 1
+
+
+def test_base_query_api(rng):
+    db = BasePlaceRecognition(descriptor_dim=16)
+    for i in range(12):
+        db.add_descriptor(rng.normal(size=16), float(i * 20), floor_label=1)
+    target = db.descriptors[3].descriptor
+
+    class _Echo:
+        def encode_batch(self, images):
+            return target[None]
+
+    db.encoder = _Echo()
+    matches = db.query(np.zeros((4, 4, 3), np.uint8), timestamp=300.0, k=3)
+    assert matches[0].match_idx == 3
+    assert matches[0].similarity > 0.99
