@@ -1,0 +1,305 @@
+"""LightGlue / SuperGlue matchers as fixed-depth batched transformers.
+
+Reference behavior being reproduced (geometric_verification.py):
+  * LightGlue: SuperPoint keypoints (max 2048, det thr 0.001) + learned
+    matcher; match threshold on confidences (:216-312);
+  * SuperGlue: same skeleton with Sinkhorn assignment, sinkhorn_iterations
+    20, match_threshold 0.2 (:389-399).
+
+TPU re-design notes:
+  * LightGlue's adaptive early-exit / keypoint pruning does not batch on a
+    static-shape compiler (SURVEY "hard parts"); this is the fixed-depth
+    variant — L layers of self + cross attention always run, padding is
+    handled with additive -inf attention bias from the keypoint masks.
+  * Assignment heads: LightGlue-style dual-softmax with sigmoid
+    matchability, or SuperGlue-style Sinkhorn-with-dustbin
+    (ops/sinkhorn.py). Mutual-argmax + threshold yields fixed-size match
+    arrays with a validity mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlis_tpu.gating.verification import BaseFeatureMatcher
+from mlis_tpu.models.superpoint import Keypoints, SuperPoint, SuperPointConfig
+from mlis_tpu.ops.attention import multi_head_attention
+from mlis_tpu.ops.image import to_grayscale
+from mlis_tpu.ops.sinkhorn import sinkhorn_with_dustbin
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    descriptor_dim: int = 256
+    dim: int = 256
+    num_heads: int = 4
+    depth: int = 9
+    match_threshold: float = 0.1
+    assignment: str = "dual_softmax"  # 'dual_softmax' (LightGlue) | 'sinkhorn'
+    sinkhorn_iterations: int = 20
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def lightglue(**kw) -> "MatcherConfig":
+        return MatcherConfig(**kw)
+
+    @staticmethod
+    def superglue(**kw) -> "MatcherConfig":
+        kw.setdefault("assignment", "sinkhorn")
+        kw.setdefault("match_threshold", 0.2)
+        return MatcherConfig(**kw)
+
+    @staticmethod
+    def tiny_test(**kw) -> "MatcherConfig":
+        kw.setdefault("descriptor_dim", 32)
+        kw.setdefault("dim", 32)
+        kw.setdefault("num_heads", 2)
+        kw.setdefault("depth", 2)
+        return MatcherConfig(**kw)
+
+
+class Matches(NamedTuple):
+    idx0: jnp.ndarray  # (B, K0) int32 — best match in image1 per kpt, -1 invalid
+    scores: jnp.ndarray  # (B, K0) matched confidence
+    valid: jnp.ndarray  # (B, K0) bool mutual+threshold+mask
+
+
+def _posenc(coords: jnp.ndarray, image_hw, dim: int) -> jnp.ndarray:
+    """Fourier positional encoding of normalized keypoint coords."""
+    h, w = image_hw
+    size = jnp.asarray([w, h], jnp.float32)
+    xy = (coords / size) * 2 - 1  # [-1, 1]
+    n_freq = dim // 4
+    freqs = 2.0 ** jnp.arange(n_freq, dtype=jnp.float32)  # (F,)
+    ang = xy[..., None] * freqs  # (B, K, 2, F)
+    enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return enc.reshape(*coords.shape[:-1], 4 * n_freq)
+
+
+class AttnLayer(nn.Module):
+    dim: int
+    num_heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, source, bias):
+        """Residual MHA(x <- source) + MLP. bias: (B, 1, Kx, Ks) additive."""
+        B, Kx, _ = x.shape
+        Dh = self.dim // self.num_heads
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(source)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(source)
+        q = q.reshape(B, Kx, self.num_heads, Dh)
+        k = k.reshape(B, source.shape[1], self.num_heads, Dh)
+        v = v.reshape(B, source.shape[1], self.num_heads, Dh)
+        msg = multi_head_attention(q, k, v, bias, use_pallas=False)
+        msg = msg.reshape(B, Kx, self.dim).astype(self.dtype)
+        msg = nn.Dense(self.dim, dtype=self.dtype, name="proj")(msg)
+        h = jnp.concatenate([x, msg], axis=-1)
+        h = nn.Dense(2 * self.dim, dtype=self.dtype, name="ffn1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(h)
+        return x + h
+
+
+class MatcherBlock(nn.Module):
+    """One self+cross round for both images; weights shared across images,
+    distinct per depth (stacked by nn.scan)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x0, x1, b00, b11 = carry
+        self_layer = AttnLayer(self.dim, self.num_heads, self.dtype, name="self")
+        cross_layer = AttnLayer(self.dim, self.num_heads, self.dtype, name="cross")
+        x0 = self_layer(x0, x0, b00)
+        x1 = self_layer(x1, x1, b11)
+        x0n = cross_layer(x0, x1, b11)
+        x1 = cross_layer(x1, x0, b00)
+        return (x0n, x1, b00, b11), None
+
+
+class MatcherNet(nn.Module):
+    cfg: MatcherConfig
+
+    @nn.compact
+    def __call__(self, d0, c0, m0, d1, c1, m1, image_hw):
+        """d: (B, K, Dd) descriptors, c: (B, K, 2) coords, m: (B, K) masks."""
+        cfg = self.cfg
+        # weights are SHARED between the two images (LightGlue design):
+        # instantiate each submodule once, call it on both streams
+        in_proj = nn.Dense(cfg.dim, dtype=cfg.dtype, name="in_proj")
+        pos_proj = nn.Dense(cfg.dim, dtype=cfg.dtype, name="pos_proj")
+        x0 = in_proj(d0.astype(cfg.dtype)) + pos_proj(
+            _posenc(c0, image_hw, cfg.dim).astype(cfg.dtype)
+        )
+        x1 = in_proj(d1.astype(cfg.dtype)) + pos_proj(
+            _posenc(c1, image_hw, cfg.dim).astype(cfg.dtype)
+        )
+
+        NEG = jnp.float32(-1e30)
+        b00 = jnp.where(m0[:, None, None, :], 0.0, NEG)  # keys masked
+        b11 = jnp.where(m1[:, None, None, :], 0.0, NEG)
+
+        # scan over depth: one traced body instead of `depth` unrolled
+        # copies — keeps XLA compile time flat in depth
+        blocks = nn.scan(
+            MatcherBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.depth,
+        )(cfg.dim, cfg.num_heads, cfg.dtype, name="blocks")
+        (x0, x1, _, _), _ = blocks((x0, x1, b00, b11), None)
+
+        final_proj = nn.Dense(cfg.dim, dtype=jnp.float32, name="final_proj")
+        f0 = final_proj(x0)
+        f1 = final_proj(x1)
+        sim = jnp.einsum("bkd,bld->bkl", f0, f1) / (cfg.dim**0.5)
+
+        if cfg.assignment == "sinkhorn":
+            alpha = self.param("dustbin", nn.initializers.ones, ())
+            log_p = sinkhorn_with_dustbin(sim, alpha, cfg.sinkhorn_iterations)
+            scores = jnp.exp(log_p[:, :-1, :-1])
+        else:
+            # LightGlue: dual softmax * matchability sigmoids
+            matchability = nn.Dense(1, dtype=jnp.float32, name="matchability")
+            z0 = matchability(f0)[..., 0]
+            z1 = matchability(f1)[..., 0]
+            mask2d = m0[:, :, None] & m1[:, None, :]
+            sim_m = jnp.where(mask2d, sim, -1e30)
+            p = jax.nn.softmax(sim_m, axis=2) * jax.nn.softmax(sim_m, axis=1)
+            scores = p * jax.nn.sigmoid(z0)[:, :, None] * jax.nn.sigmoid(z1)[:, None, :]
+        return scores
+
+
+def extract_matches(
+    scores: jnp.ndarray,  # (B, K0, K1)
+    m0: jnp.ndarray,
+    m1: jnp.ndarray,
+    threshold: float,
+) -> Matches:
+    """Mutual argmax + threshold, static shapes."""
+    mask2d = m0[:, :, None] & m1[:, None, :]
+    s = jnp.where(mask2d, scores, -1.0)
+    best1 = jnp.argmax(s, axis=2)  # (B, K0)
+    best0 = jnp.argmax(s, axis=1)  # (B, K1)
+    k0 = jnp.arange(s.shape[1])
+    mutual = jnp.take_along_axis(best0, best1, axis=1) == k0[None, :]
+    sc = jnp.take_along_axis(s, best1[..., None], axis=2)[..., 0]
+    valid = mutual & (sc > threshold) & m0
+    return Matches(
+        jnp.where(valid, best1, -1).astype(jnp.int32),
+        jnp.where(valid, sc, 0.0),
+        valid,
+    )
+
+
+class LightGlue(BaseFeatureMatcher):
+    """SuperPoint + fixed-depth LightGlue, batched over pairs.
+
+    API parity with the reference matcher (detect_and_match returning
+    matched keypoint arrays + confidences) plus the TPU-native
+    `match_batch` that keeps everything device-resident and fixed-shape.
+    """
+
+    matcher_cfg_factory = MatcherConfig.lightglue
+
+    def __init__(
+        self,
+        max_keypoints: int = 2048,
+        detection_threshold: float = 0.001,
+        sp_cfg: Optional[SuperPointConfig] = None,
+        matcher_cfg: Optional[MatcherConfig] = None,
+        seed: int = 0,
+    ):
+        self.sp = SuperPoint(
+            sp_cfg
+            or SuperPointConfig(
+                max_keypoints=max_keypoints, detection_threshold=detection_threshold
+            ),
+            seed=seed,
+        )
+        self.cfg = matcher_cfg or type(self).matcher_cfg_factory(
+            descriptor_dim=self.sp.cfg.descriptor_dim
+        )
+        self.net = MatcherNet(self.cfg)
+        self.params = None
+        self._seed = seed
+        self._jit_match = {}  # keyed by image_hw (posenc normalization)
+
+    def _init(self, K0, K1, image_hw):
+        if self.params is None:
+            B = 1
+            d0 = jnp.zeros((B, K0, self.cfg.descriptor_dim))
+            d1 = jnp.zeros((B, K1, self.cfg.descriptor_dim))
+            c0 = jnp.zeros((B, K0, 2))
+            c1 = jnp.zeros((B, K1, 2))
+            m = jnp.ones((B, K0), bool)
+            m1 = jnp.ones((B, K1), bool)
+            self.params = self.net.init(
+                jax.random.PRNGKey(self._seed), d0, c0, m, d1, c1, m1, image_hw
+            )
+
+    def match_keypoints(
+        self, kp0: Keypoints, kp1: Keypoints, image_hw: Tuple[int, int]
+    ) -> Matches:
+        image_hw = (int(image_hw[0]), int(image_hw[1]))
+        self._init(kp0.coords.shape[1], kp1.coords.shape[1], image_hw)
+        if image_hw not in self._jit_match:
+            thr = self.cfg.match_threshold
+
+            def _match(params, kp0, kp1):
+                scores = self.net.apply(
+                    params,
+                    kp0.descriptors,
+                    kp0.coords,
+                    kp0.mask,
+                    kp1.descriptors,
+                    kp1.coords,
+                    kp1.mask,
+                    image_hw,
+                )
+                return extract_matches(scores, kp0.mask, kp1.mask, thr)
+
+            self._jit_match[image_hw] = jax.jit(_match)
+        return self._jit_match[image_hw](self.params, kp0, kp1)
+
+    def match_batch(
+        self, images0: jnp.ndarray, images1: jnp.ndarray
+    ) -> Tuple[Keypoints, Keypoints, Matches]:
+        """(B, H, W, 1) grayscale pairs -> keypoints + matches, device-resident."""
+        kp0 = self.sp.detect(images0)
+        kp1 = self.sp.detect(images1)
+        hw = (int(images0.shape[1]), int(images0.shape[2]))
+        return kp0, kp1, self.match_keypoints(kp0, kp1, hw)
+
+    # -- reference-parity single-pair API --------------------------------------
+    def detect_and_match(
+        self, image1: np.ndarray, image2: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """uint8 images -> (matched kpts1 (M,2), kpts2 (M,2), confidences)."""
+        g1 = to_grayscale(jnp.asarray(image1)[None])
+        g2 = to_grayscale(jnp.asarray(image2)[None])
+        kp0, kp1, matches = self.match_batch(g1, g2)
+        valid = np.asarray(matches.valid[0])
+        idx = np.asarray(matches.idx0[0])[valid]
+        pts0 = np.asarray(kp0.coords[0])[valid]
+        pts1 = np.asarray(kp1.coords[0])[idx]
+        conf = np.asarray(matches.scores[0])[valid]
+        return pts0, pts1, conf
+
+
+class SuperGlue(LightGlue):
+    """Sinkhorn-assignment variant (reference :353-421: 20 iterations,
+    match threshold 0.2, LightGlue skeleton otherwise)."""
+
+    matcher_cfg_factory = MatcherConfig.superglue

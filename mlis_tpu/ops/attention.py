@@ -101,6 +101,10 @@ def fused_attention(
     )(q, k, v, bias)
 
 
+# single-block kernel budget: scores (S, T) f32 + q/k/v must fit VMEM
+_VMEM_SCORE_BUDGET = 4 * 1024 * 1024  # bytes for the (S, T) tile
+
+
 def multi_head_attention(
     q: jnp.ndarray,  # (B, S, H, Dh)
     k: jnp.ndarray,  # (B, T, H, Dh)
@@ -113,6 +117,11 @@ def multi_head_attention(
         use_pallas = _on_tpu()
     B, S, H, Dh = q.shape
     T = k.shape[1]
+    if S * T * 4 > _VMEM_SCORE_BUDGET:
+        # score tile would blow VMEM in the single-block kernel; XLA's own
+        # fusion handles the long-sequence case until the KV-tiled flash
+        # kernel lands
+        use_pallas = False
 
     def flat(x, L):
         return x.transpose(0, 2, 1, 3).reshape(B * H, L, Dh)

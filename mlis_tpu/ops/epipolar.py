@@ -1,0 +1,193 @@
+"""Batched epipolar geometry: essential-matrix RANSAC + pose recovery.
+
+Replaces the reference's per-pair cv2.findEssentialMat / cv2.recoverPose
+calls (geometric_verification.py:104-188) with fixed-hypothesis-count,
+static-shape kernels that `vmap` over candidate pairs:
+
+  * hypotheses: 8-point algorithm on random minimal samples — a batched
+    (H, 8, 9) SVD, followed by projection onto the essential manifold
+    (singular values -> (1, 1, 0));
+  * inlier scoring: Sampson distance in normalized coordinates, threshold
+    = pixel_threshold / focal (the cv2 convention), one (H, N) reduction;
+  * pose recovery: the four (R, t) decompositions of the best E, cheirality
+    (positive-depth) voting via closed-form two-view triangulation.
+
+Decision-level parity with the reference: validity is judged on inlier
+counts/ratios (>= 20 inliers, ratio >= 0.25), not on bitwise-equal masks —
+OpenCV's RANSAC is itself nondeterministic across runs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class EssentialResult(NamedTuple):
+    E: jnp.ndarray  # (3, 3)
+    inlier_mask: jnp.ndarray  # (N,) bool
+    num_inliers: jnp.ndarray  # () int32
+    inlier_ratio: jnp.ndarray  # () float32
+
+
+def to_homogeneous(pts: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+
+
+def normalize_points(pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Pixel -> normalized camera coordinates: (x - c) / f."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return jnp.stack(
+        [(pts[..., 0] - cx) / fx, (pts[..., 1] - cy) / fy], axis=-1
+    )
+
+
+def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Essential matrix from >= 8 normalized correspondences.
+
+    x1, x2: (M, 2). Returns (3, 3) E projected onto the essential manifold.
+    """
+    h1 = to_homogeneous(x1)  # (M, 3)
+    h2 = to_homogeneous(x2)
+    # constraint rows: kron(h2_i, h1_i)
+    A = (h2[:, :, None] * h1[:, None, :]).reshape(x1.shape[0], 9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    E = vt[-1].reshape(3, 3)
+    u, s, vt2 = jnp.linalg.svd(E)
+    # essential manifold: two equal singular values, one zero
+    E = u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ vt2
+    return E
+
+
+def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric error in normalized coords, (N,)."""
+    h1 = to_homogeneous(x1)  # (N, 3)
+    h2 = to_homogeneous(x2)
+    Ex1 = h1 @ E.T  # (N, 3)  == (E @ h1^T)^T
+    Etx2 = h2 @ E  # (N, 3)
+    err = jnp.sum(h2 * Ex1, axis=-1)
+    denom = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return err**2 / jnp.maximum(denom, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def essential_ransac(
+    kpts1: jnp.ndarray,  # (N, 2) pixel coords
+    kpts2: jnp.ndarray,  # (N, 2)
+    valid: jnp.ndarray,  # (N,) bool — mask for padded correspondences
+    K: jnp.ndarray,  # (3, 3)
+    key: jax.Array,
+    num_hypotheses: int = 512,
+    threshold_px: float = 3.0,
+) -> EssentialResult:
+    """Fixed-budget RANSAC for one pair (vmap over pairs for batches)."""
+    N = kpts1.shape[0]
+    x1 = normalize_points(kpts1.astype(jnp.float32), K)
+    x2 = normalize_points(kpts2.astype(jnp.float32), K)
+    n_valid = jnp.sum(valid)
+
+    # sample 8 valid indices per hypothesis: draw uniform over [0, n_valid)
+    # through a compaction permutation (valid indices first)
+    order = jnp.argsort(~valid, stable=True)
+    u = jax.random.uniform(key, (num_hypotheses, 8))
+    draw = (u * jnp.maximum(n_valid, 1)).astype(jnp.int32)
+    draw = jnp.minimum(draw, jnp.maximum(n_valid - 1, 0))
+    idx = order[draw]  # (H, 8)
+
+    Es = jax.vmap(lambda i: _eight_point(x1[i], x2[i]))(idx)  # (H, 3, 3)
+
+    f_mean = 0.5 * (K[0, 0] + K[1, 1])
+    thr = (threshold_px / f_mean) ** 2
+
+    errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, N)
+    inl = (errs < thr) & valid[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+
+    E = Es[best]
+    mask = inl[best]
+    num = counts[best]
+    ratio = num / jnp.maximum(n_valid, 1)
+    return EssentialResult(E, mask, num.astype(jnp.int32), ratio.astype(jnp.float32))
+
+
+def _triangulate_depths(
+    R: jnp.ndarray, t: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form two-view depths for x2 ~ R x1 + t. Returns (z1, z2)."""
+    h1 = to_homogeneous(x1)  # (N, 3)
+    h2 = to_homogeneous(x2)
+    Rx1 = h1 @ R.T  # (N, 3)
+    c = jnp.cross(h2, Rx1)  # (N, 3)
+    ct = jnp.cross(h2, jnp.broadcast_to(t, h2.shape))
+    z1 = -jnp.sum(ct * c, axis=-1) / jnp.maximum(
+        jnp.sum(c * c, axis=-1), 1e-12
+    )
+    z2 = Rx1[:, 2] * z1 + t[2]
+    return z1, z2
+
+
+@jax.jit
+def recover_pose(
+    E: jnp.ndarray,  # (3, 3)
+    kpts1: jnp.ndarray,  # (N, 2) pixels
+    kpts2: jnp.ndarray,
+    inlier_mask: jnp.ndarray,  # (N,) bool
+    K: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cheirality-voted (R, t) from E (cv2.recoverPose semantics: x2 = R x1 + t,
+    |t| = 1). Returns (T (4,4), num_good (int32), R_det (float32))."""
+    x1 = normalize_points(kpts1.astype(jnp.float32), K)
+    x2 = normalize_points(kpts2.astype(jnp.float32), K)
+
+    u, _, vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    u = u * jnp.sign(jnp.linalg.det(u))
+    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = u @ W @ vt
+    R2 = u @ W.T @ vt
+    tvec = u[:, 2]
+
+    def score(R, t):
+        z1, z2 = _triangulate_depths(R, t, x1, x2)
+        good = (z1 > 0) & (z2 > 0) & inlier_mask
+        return jnp.sum(good)
+
+    cands = [(R1, tvec), (R1, -tvec), (R2, tvec), (R2, -tvec)]
+    scores = jnp.stack([score(R, t) for R, t in cands])
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    best = jnp.argmax(scores)
+    R, t = Rs[best], ts[best]
+
+    T = jnp.eye(4, dtype=jnp.float32)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(t)
+    return T, scores[best].astype(jnp.int32), jnp.linalg.det(R)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def essential_ransac_batch(
+    kpts1: jnp.ndarray,  # (P, N, 2)
+    kpts2: jnp.ndarray,
+    valid: jnp.ndarray,  # (P, N)
+    K: jnp.ndarray,  # (3, 3) shared intrinsics
+    key: jax.Array,
+    num_hypotheses: int = 512,
+    threshold_px: float = 3.0,
+):
+    """RANSAC + pose recovery for a whole batch of candidate pairs."""
+    P = kpts1.shape[0]
+    keys = jax.random.split(key, P)
+
+    def one(k1, k2, v, kk):
+        res = essential_ransac(k1, k2, v, K, kk, num_hypotheses, threshold_px)
+        T, good, det = recover_pose(res.E, k1, k2, res.inlier_mask, K)
+        return res, T, good
+
+    return jax.vmap(one)(kpts1, kpts2, valid, keys)
