@@ -1,0 +1,270 @@
+"""Semantic evaluation: gating/floor-detection/dynamic-filtering metrics,
+report parsing, and comparison tables.
+
+Capability parity with the reference
+(scripts/evaluation/semantic_evaluation.py): LoopClosureMetrics with
+precision/recall/F1 + cross-floor rate + gating effectiveness (:23-66),
+FloorDetectionMetrics (:69-90), DynamicFilteringMetrics (:93-118), parsing
+of the gating analysis text reports (:220-264), trajectory velocity/drift
+metrics (:266-301), and JSON + markdown comparison output (:357-453).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class LoopClosureMetrics:
+    total_candidates: int = 0
+    true_positives: int = 0
+    false_positives: int = 0
+    false_negatives: int = 0
+    same_floor_candidates: int = 0
+    cross_floor_candidates: int = 0
+    cross_floor_rejected: int = 0
+
+    @property
+    def precision(self) -> float:
+        d = self.true_positives + self.false_positives
+        return self.true_positives / d if d else 0.0
+
+    @property
+    def recall(self) -> float:
+        d = self.true_positives + self.false_negatives
+        return self.true_positives / d if d else 0.0
+
+    @property
+    def f1_score(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+    @property
+    def cross_floor_rate(self) -> float:
+        return (
+            self.cross_floor_candidates / self.total_candidates
+            if self.total_candidates
+            else 0.0
+        )
+
+    @property
+    def gating_effectiveness(self) -> float:
+        if self.cross_floor_candidates == 0:
+            return 1.0
+        return self.cross_floor_rejected / self.cross_floor_candidates
+
+
+@dataclass
+class FloorDetectionMetrics:
+    total_poses: int = 0
+    correct_floor_labels: int = 0
+    elevator_events_detected: int = 0
+    elevator_events_ground_truth: int = 0
+
+    @property
+    def floor_accuracy(self) -> float:
+        return self.correct_floor_labels / self.total_poses if self.total_poses else 0.0
+
+    @property
+    def elevator_precision(self) -> float:
+        if self.elevator_events_ground_truth == 0:
+            return 1.0 if self.elevator_events_detected == 0 else 0.0
+        return min(
+            1.0, self.elevator_events_detected / self.elevator_events_ground_truth
+        )
+
+
+@dataclass
+class DynamicFilteringMetrics:
+    total_frames: int = 0
+    frames_with_dynamic_objects: int = 0
+    total_features_extracted: int = 0
+    features_filtered: int = 0
+    mean_tracking_velocity: float = 0.0
+    velocity_std: float = 0.0
+    tracking_failures: int = 0
+
+    @property
+    def dynamic_object_rate(self) -> float:
+        return (
+            self.frames_with_dynamic_objects / self.total_frames
+            if self.total_frames
+            else 0.0
+        )
+
+    @property
+    def feature_filter_rate(self) -> float:
+        return (
+            self.features_filtered / self.total_features_extracted
+            if self.total_features_extracted
+            else 0.0
+        )
+
+
+@dataclass
+class SemanticEvaluationResult:
+    algorithm: str
+    sequence: str = "all"
+    ate_rmse: float = 0.0
+    ate_mean: float = 0.0
+    ate_max: float = 0.0
+    loop_closure: LoopClosureMetrics = field(default_factory=LoopClosureMetrics)
+    floor_detection: FloorDetectionMetrics = field(
+        default_factory=FloorDetectionMetrics
+    )
+    dynamic_filtering: Optional[DynamicFilteringMetrics] = None
+    mean_velocity: float = 0.0
+    velocity_std: float = 0.0
+    endpoint_drift: float = 0.0
+
+
+# -- report parsing -------------------------------------------------------------
+
+_REPORT_PATTERNS = {
+    "total_candidates": r"Total candidates detected:\s*([\d,]+)",
+    "same_floor": r"Same-floor \(valid\):\s*([\d,]+)",
+    "cross_floor": r"Cross-floor \(perceptual aliasing\):\s*([\d,]+)",
+    "total_poses": r"Total poses:\s*([\d,]+)",
+}
+
+
+def parse_gating_report(path_or_text) -> LoopClosureMetrics:
+    """Parse a semantic-analysis text report (ours or the reference's —
+    identical field labels) into LoopClosureMetrics."""
+    text = (
+        Path(path_or_text).read_text()
+        if isinstance(path_or_text, (str, Path)) and len(str(path_or_text)) < 512
+        and Path(str(path_or_text)).exists()
+        else str(path_or_text)
+    )
+    vals = {}
+    for key, pat in _REPORT_PATTERNS.items():
+        m = re.search(pat, text)
+        vals[key] = int(m.group(1).replace(",", "")) if m else 0
+    return LoopClosureMetrics(
+        total_candidates=vals["total_candidates"],
+        same_floor_candidates=vals["same_floor"],
+        cross_floor_candidates=vals["cross_floor"],
+        cross_floor_rejected=vals["cross_floor"],  # strict gate rejects all
+        true_positives=vals["same_floor"],
+        false_positives=0,
+    )
+
+
+# -- trajectory quality ----------------------------------------------------------
+
+
+def trajectory_velocity_metrics(tum_matrix: np.ndarray) -> Dict[str, float]:
+    """Velocity statistics + drift (reference :266-301)."""
+    t = tum_matrix[:, 0]
+    pos = tum_matrix[:, 1:4]
+    dt = np.diff(t)
+    ok = dt > 1e-6
+    v = np.linalg.norm(np.diff(pos, axis=0), axis=1)[ok] / dt[ok]
+    return {
+        "mean_velocity": float(v.mean()) if v.size else 0.0,
+        "velocity_std": float(v.std()) if v.size else 0.0,
+        "max_velocity": float(v.max()) if v.size else 0.0,
+        "endpoint_drift": float(np.linalg.norm(pos[-1] - pos[0])),
+        "duration": float(t[-1] - t[0]),
+    }
+
+
+def floor_detection_metrics(
+    predicted: np.ndarray,
+    ground_truth: np.ndarray,
+    events_detected: int = 0,
+    events_ground_truth: int = 0,
+) -> FloorDetectionMetrics:
+    predicted = np.asarray(predicted)
+    ground_truth = np.asarray(ground_truth)
+    return FloorDetectionMetrics(
+        total_poses=len(predicted),
+        correct_floor_labels=int((predicted == ground_truth).sum()),
+        elevator_events_detected=events_detected,
+        elevator_events_ground_truth=events_ground_truth,
+    )
+
+
+# -- evaluator ---------------------------------------------------------------------
+
+
+class SemanticEvaluator:
+    """Aggregates semantic-gating results across algorithms and renders
+    JSON + markdown comparison tables."""
+
+    def __init__(self, results_dir: str = "./results/semantic_gating"):
+        self.results_dir = Path(results_dir)
+        self.results: Dict[str, SemanticEvaluationResult] = {}
+
+    def evaluate_algorithm(
+        self,
+        algorithm: str,
+        report_path: Optional[str] = None,
+        tum_matrix: Optional[np.ndarray] = None,
+    ) -> SemanticEvaluationResult:
+        res = SemanticEvaluationResult(algorithm=algorithm)
+        report = (
+            Path(report_path)
+            if report_path
+            else self.results_dir / f"{algorithm}_semantic_analysis.txt"
+        )
+        if report.exists():
+            res.loop_closure = parse_gating_report(report)
+        if tum_matrix is not None:
+            vm = trajectory_velocity_metrics(tum_matrix)
+            res.mean_velocity = vm["mean_velocity"]
+            res.velocity_std = vm["velocity_std"]
+            res.endpoint_drift = vm["endpoint_drift"]
+        self.results[algorithm] = res
+        return res
+
+    def evaluate_all(self, algorithms=("orb_slam3", "droid_slam", "lego_loam")):
+        for algo in algorithms:
+            self.evaluate_algorithm(algo)
+        return self.results
+
+    # -- output -----------------------------------------------------------------
+    def to_json(self, path: Optional[str] = None) -> str:
+        def enc(r: SemanticEvaluationResult):
+            d = asdict(r)
+            d["loop_closure"].update(
+                cross_floor_rate=r.loop_closure.cross_floor_rate,
+                gating_effectiveness=r.loop_closure.gating_effectiveness,
+                precision=r.loop_closure.precision,
+                recall=r.loop_closure.recall,
+                f1_score=r.loop_closure.f1_score,
+            )
+            return d
+
+        out = json.dumps({k: enc(v) for k, v in self.results.items()}, indent=2)
+        if path:
+            Path(path).parent.mkdir(parents=True, exist_ok=True)
+            Path(path).write_text(out)
+        return out
+
+    def comparison_markdown(self, path: Optional[str] = None) -> str:
+        lines = [
+            "# Semantic Gating Comparison",
+            "",
+            "| Algorithm | Candidates | Same-floor | Cross-floor | Cross-floor rate | Gating effectiveness |",
+            "|---|---|---|---|---|---|",
+        ]
+        for algo, r in self.results.items():
+            lc = r.loop_closure
+            lines.append(
+                f"| {algo} | {lc.total_candidates:,} | {lc.same_floor_candidates:,} "
+                f"| {lc.cross_floor_candidates:,} | {lc.cross_floor_rate:.1%} "
+                f"| {lc.gating_effectiveness:.1%} |"
+            )
+        out = "\n".join(lines) + "\n"
+        if path:
+            Path(path).parent.mkdir(parents=True, exist_ok=True)
+            Path(path).write_text(out)
+        return out

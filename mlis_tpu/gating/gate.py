@@ -164,6 +164,35 @@ class SemanticLoopClosureGate:
         print("=" * 50)
 
 
+def generate_orbslam3_patch(function_name: str = "CheckFloorConsistency") -> str:
+    """Emit the C++ floor-consistency hook for ORB-SLAM3's LoopClosing.cc
+    (capability parity with reference loop_closure_gate.py:216-258: a
+    strict-mode keyframe floor check inserted before ComputeSim3)."""
+    return f"""\
+// Floor-consistency gate for ORB-SLAM3 loop closing.
+// Insert into src/LoopClosing.cc; call after DBoW2 candidate retrieval and
+// before ComputeSim3(). KeyFrames must carry an mnFloorLabel member filled
+// from the IMU floor detector during tracking.
+
+bool LoopClosing::{function_name}(KeyFrame* pQuery, KeyFrame* pCandidate)
+{{
+    const int queryFloor = pQuery->mnFloorLabel;
+    const int matchFloor = pCandidate->mnFloorLabel;
+    if (queryFloor != matchFloor) {{
+        // strict mode: any floor difference is perceptual aliasing
+        return false;
+    }}
+    return true;
+}}
+
+// In DetectLoop(), filter the DBoW2 candidates:
+//   vector<KeyFrame*> vpValid;
+//   for (KeyFrame* pKF : vpCandidateKFs)
+//       if ({function_name}(mpCurrentKF, pKF)) vpValid.push_back(pKF);
+//   // continue geometric verification with vpValid only
+"""
+
+
 class ContextualPriorFactor:
     """Factor-graph constraint emitters (reference loop_closure_gate.py:151-213).
 

@@ -72,3 +72,14 @@ def test_contextual_priors():
     assert up["sigma_dz"] == 0.3
     z, sz = f.floor_priors()
     np.testing.assert_allclose(z, [15.0, 3.0, 12.0])
+
+
+def test_orbslam3_patch_codegen():
+    from mlis_tpu.gating.gate import generate_orbslam3_patch
+
+    code = generate_orbslam3_patch()
+    assert "CheckFloorConsistency" in code
+    assert "mnFloorLabel" in code
+    assert "return false" in code
+    code2 = generate_orbslam3_patch("MyGate")
+    assert "LoopClosing::MyGate" in code2
