@@ -16,6 +16,17 @@ the reference can find every symbol here, but the implementations are new.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache (kernels recompile per process through
+# the TPU tunnel otherwise). Opt out with MLIS_COMPILE_CACHE=0.
+if _os.environ.get("MLIS_COMPILE_CACHE", "1") != "0":
+    _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/mlis_tpu/jax"),
+    )
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 # Re-exports assembled lazily to keep import light; heavy model modules are
 # imported on first attribute access.
 from mlis_tpu.config import GatingConfig, PipelineConfig  # noqa: F401

@@ -1,0 +1,191 @@
+"""Command-line interface — the orchestration surface.
+
+Covers the reference's driver scripts (SURVEY §2.6/§2.7 CLIs) as
+subcommands of one entry point (`python -m mlis_tpu <cmd>`):
+
+  gate       per-algorithm semantic gating analysis + comparison
+             (orb_slam3/droid_slam/lego_loam integrations + run_all stage)
+  evaluate   full trajectory evaluation vs LeGO-LOAM pseudo-GT
+             (comprehensive_evaluation / final_eval)
+  pipeline   trajectory+IMU semantic gating pipeline (incl. --demo)
+  calib      Kalibr -> ORB-SLAM3 / VINS-Fusion / Basalt / LeGO-LOAM configs
+  bag        bag info / IMU / odometry-TUM extraction (bag_utils + extractors)
+  bench      one-line JSON throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _cmd_gate(args) -> int:
+    from mlis_tpu.eval.semantic_eval import SemanticEvaluator
+    from mlis_tpu.gating.integration import INTEGRATIONS
+
+    algos = args.algorithms or list(INTEGRATIONS)
+    for algo in algos:
+        integ = INTEGRATIONS[algo](args.trajectory_root, args.output)
+        report = integ.run_full_analysis(
+            distance_threshold=args.distance_threshold,
+            min_time_gap=args.min_time_gap,
+            make_figures=args.figures,
+        )
+        print(report)
+    ev = SemanticEvaluator(results_dir=args.output)
+    ev.evaluate_all(algos)
+    ev.to_json(str(Path(args.output) / "semantic_gating_metrics.json"))
+    md = ev.comparison_markdown(str(Path(args.output) / "semantic_gating_comparison.md"))
+    print(md)
+    if args.figures:
+        from mlis_tpu.viz.figures import plot_rejection_rates
+
+        plot_rejection_rates(
+            {a: ev.results[a].loop_closure.cross_floor_rate for a in algos},
+            Path(args.output) / "rejection_rates.png",
+        )
+    return 0
+
+
+def _cmd_evaluate(args) -> int:
+    from mlis_tpu.eval.comprehensive import run_full_evaluation
+
+    run_full_evaluation(
+        args.trajectory_root,
+        output_path=str(Path(args.output) / "final_evaluation.json"),
+        legacy_alignment=not args.proper_se3,
+        full_diagnostics=not args.fast,
+    )
+    return 0
+
+
+def _cmd_pipeline(args, extra) -> int:
+    from mlis_tpu.gating.pipeline import main as pipeline_main
+
+    return pipeline_main(extra)
+
+
+def _cmd_calib(args) -> int:
+    from mlis_tpu.core import calibration as cal
+
+    cams = cal.load_kalibr_cameras(args.cameras)
+    if args.format == "orbslam3":
+        out = cal.convert_to_orbslam3(
+            cams, args.left, args.right, output_path=args.output
+        )
+    elif args.format in ("vins", "basalt"):
+        if not (args.cam_imu and args.imu):
+            print("--cam-imu and --imu are required for vins/basalt", file=sys.stderr)
+            return 2
+        T = cal.load_camera_imu_calib(args.cam_imu)
+        imu = cal.load_imu_params(args.imu)
+        fn = cal.convert_to_vins_fusion if args.format == "vins" else cal.convert_to_basalt
+        out = fn(cams, T, imu, args.left, args.right, output_path=args.output)
+    elif args.format == "lego-loam":
+        out = cal.convert_to_lego_loam(output_path=args.output)
+    else:
+        print(f"unknown format {args.format}", file=sys.stderr)
+        return 2
+    if not args.output:
+        print(out)
+    return 0
+
+
+def _cmd_bag(args) -> int:
+    from mlis_tpu.core.bag import BagReader, extract_imu, extract_odometry_tum
+
+    if args.action == "info":
+        info = BagReader(args.bag).info()
+        print(json.dumps(info, indent=2))
+    elif args.action == "imu-csv":
+        import numpy as np
+
+        t, a, g = extract_imu(args.bag, args.topic or "/vectornav/imu")
+        rows = np.column_stack([t, a, g])
+        out = args.output or "imu.csv"
+        np.savetxt(out, rows, delimiter=",",
+                   header="t,ax,ay,az,gx,gy,gz", comments="")
+        print(f"wrote {len(rows)} IMU rows to {out}")
+    elif args.action == "odom-tum":
+        import numpy as np
+
+        topics = (
+            [args.topic]
+            if args.topic
+            else ["/aft_mapped_to_init", "/integrated_to_init", "/odom"]
+        )
+        tum = extract_odometry_tum(args.bag, topics)
+        out = args.output or "trajectory.txt"
+        with open(out, "w") as f:
+            for r in tum:
+                f.write(f"{r[0]:.6f} " + " ".join(f"{v:.9f}" for v in r[1:]) + "\n")
+        print(f"wrote {len(tum)} poses to {out}")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import runpy
+
+    runpy.run_path(str(Path(__file__).parent.parent / "bench.py"), run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mlis_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd")
+
+    p = sub.add_parser("gate", help="semantic gating analysis")
+    p.add_argument("--trajectory-root", default="/root/reference/results/trajectories")
+    p.add_argument("--output", default="./results/semantic_gating")
+    p.add_argument("--algorithms", nargs="*", default=None)
+    p.add_argument("--distance-threshold", type=float, default=2.0)
+    p.add_argument("--min-time-gap", type=int, default=100)
+    p.add_argument("--figures", action="store_true")
+
+    p = sub.add_parser("evaluate", help="trajectory evaluation")
+    p.add_argument("--trajectory-root", default="/root/reference/results/trajectories")
+    p.add_argument("--output", default="./results/metrics")
+    p.add_argument("--proper-se3", action="store_true",
+                   help="use true SE(3) instead of the reference's legacy scale-applying alignment")
+    p.add_argument("--fast", action="store_true", help="skip RPE/segment diagnostics")
+
+    sub.add_parser("pipeline", help="gating pipeline (args passed through; see --help)")
+
+    p = sub.add_parser("calib", help="calibration conversion")
+    p.add_argument("format", choices=["orbslam3", "vins", "basalt", "lego-loam"])
+    p.add_argument("--cameras", required=False)
+    p.add_argument("--cam-imu")
+    p.add_argument("--imu")
+    p.add_argument("--left", default="cam1")
+    p.add_argument("--right", default="cam3")
+    p.add_argument("--output")
+
+    p = sub.add_parser("bag", help="bag utilities")
+    p.add_argument("action", choices=["info", "imu-csv", "odom-tum"])
+    p.add_argument("bag")
+    p.add_argument("--topic")
+    p.add_argument("--output")
+
+    sub.add_parser("bench", help="one-line JSON benchmark")
+
+    args, extra = parser.parse_known_args(argv)
+    if args.cmd == "gate":
+        return _cmd_gate(args)
+    if args.cmd == "evaluate":
+        return _cmd_evaluate(args)
+    if args.cmd == "pipeline":
+        return _cmd_pipeline(args, extra)
+    if args.cmd == "calib":
+        return _cmd_calib(args)
+    if args.cmd == "bag":
+        return _cmd_bag(args)
+    if args.cmd == "bench":
+        return _cmd_bench(args)
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
