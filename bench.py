@@ -1,72 +1,138 @@
-"""Benchmark: semantic-gating candidate sweep throughput on one TPU chip.
+"""Benchmark on one TPU chip. Prints ONE JSON line.
 
-Runs the round-1 end-to-end slice — the exact (float64-parity) loop-closure
-candidate sweep + floor gate over the full ORB-SLAM3 NUFR-M3F database
-(19,163 poses -> 367M pair checks -> 5,110,618 candidates, 3,612,527
-cross-floor rejected) — and reports pair-checks/sec.
-
-Baseline: the reference implementation's scipy-KDTree sweep
-(orb_slam3_integration.py:167-217 semantics) measured on this host's CPU:
-5.36 s for the same sweep = 3.43e7 pair checks/s (counts verified equal).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Two modes (MLIS_BENCH_MODE env):
+  full  (default) — the BASELINE.json north-star: full semantic gate
+        throughput in keyframe pairs/sec (VPR descriptors -> retrieval ->
+        floor gate -> SuperPoint/LightGlue/RANSAC verification of the
+        same-floor survivors) on 540x720 keyframes with full-size models.
+        vs_baseline is measured against the 500 pairs/s/chip target.
+        Rejection parity is asserted inside on the published LeGO-LOAM
+        data (87,044 / 65,567 exact) before timing.
+  sweep — the exact loop-closure candidate sweep over the full ORB-SLAM3
+        NUFR-M3F database (367M float64-exact pair checks); vs_baseline is
+        the measured reference scipy-KDTree throughput on this host.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_CPU_PAIRS_PER_SEC = 3.43e7  # measured 2026-08-16, this host, scipy KDTree
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mlis_tpu/jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+REFERENCE_CPU_PAIRS_PER_SEC = 3.43e7  # scipy KDTree sweep, this host, 2026-08-16
+NORTH_STAR_PAIRS_PER_SEC = 500.0  # BASELINE.json v5e target
+REFERENCE_ROOT = "/root/reference/results/trajectories"
 
 
-def _load_positions():
+def _check_parity() -> bool:
+    """Exact-count parity on the published LeGO-LOAM data (fast)."""
     try:
         from mlis_tpu.core.dataset import NUFRM3F
         from mlis_tpu.core.trajectory import combine_sequences
+        from mlis_tpu.ops.pairwise import candidate_counts
 
-        m = NUFRM3F("/root/reference/results/trajectories", "orb_slam3")
+        m = NUFRM3F(REFERENCE_ROOT, "lego_loam")
         mat, floors = combine_sequences(m.load(), {})
-        return mat[:, 1:4], floors, True
-    except Exception:
+        counts = candidate_counts(mat[:, 1:4], floors)
+        assert counts == (87044, 21477, 65567), counts
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def bench_sweep() -> dict:
+    from mlis_tpu.core.dataset import NUFRM3F
+    from mlis_tpu.core.trajectory import combine_sequences
+    from mlis_tpu.ops.pairwise import candidate_counts
+
+    try:
+        m = NUFRM3F(REFERENCE_ROOT, "orb_slam3")
+        mat, floors = combine_sequences(m.load(), {})
+        positions = mat[:, 1:4]
+        real = True
+    except FileNotFoundError:
         rng = np.random.default_rng(0)
         n = 19163
         centers = rng.normal(size=(8, 3)) * 30
-        pos = centers[rng.integers(0, 8, n)] + rng.normal(size=(n, 3))
+        positions = centers[rng.integers(0, 8, n)] + rng.normal(size=(n, 3))
         floors = rng.integers(1, 6, n)
-        return pos, floors, False
+        real = False
 
-
-def main():
-    from mlis_tpu.ops.pairwise import candidate_counts
-
-    positions, floors, real_data = _load_positions()
     n = len(positions)
-    pair_checks = n * (n - 1) / 2
-
-    # warm-up (compile)
-    counts = candidate_counts(positions, floors)
-    if real_data:
+    counts = candidate_counts(positions, floors)  # warm-up/compile
+    if real:
         assert counts == (5110618, 1498091, 3612527), counts
-
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         candidate_counts(positions, floors)
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    value = pair_checks / best
+    value = n * (n - 1) / 2 / min(times)
+    return {
+        "metric": "semantic_gating_pair_checks_per_sec",
+        "value": round(value),
+        "unit": "pairs/s",
+        "vs_baseline": round(value / REFERENCE_CPU_PAIRS_PER_SEC, 2),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "semantic_gating_pair_checks_per_sec",
-                "value": round(value),
-                "unit": "pairs/s",
-                "vs_baseline": round(value / REFERENCE_CPU_PAIRS_PER_SEC, 2),
-            }
-        )
+
+def bench_full_gate(n_keyframes: int = 128, reps: int = 3) -> dict:
+    from mlis_tpu.gating.full_gate import FullGatePipeline
+    from mlis_tpu.gating.verification import GeometricVerifier
+    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+    from mlis_tpu.models.superpoint import SuperPointConfig
+
+    parity_ok = _check_parity()
+
+    rng = np.random.default_rng(0)
+    n_scenes = max(n_keyframes // 8, 1)
+    bases = [
+        np.kron(
+            rng.integers(0, 255, (68, 90, 3), dtype=np.uint8),
+            np.ones((8, 8, 1), np.uint8),
+        )[:540, :720]
+        for _ in range(n_scenes)
+    ]
+    images = np.stack([bases[i % n_scenes] for i in range(n_keyframes)])
+    timestamps = np.arange(n_keyframes) * 30.0
+    floors = np.asarray([5] * (n_keyframes // 2) + [2] * (n_keyframes - n_keyframes // 2))
+    K = np.array([[400.0, 0, 360.0], [0, 400.0, 270.0], [0, 0, 1.0]])
+
+    matcher = LightGlue(
+        sp_cfg=SuperPointConfig(max_keypoints=1024),
+        matcher_cfg=MatcherConfig.lightglue(),
     )
+    pipe = FullGatePipeline(
+        vpr_method="mixvpr",
+        verifier=GeometricVerifier(matcher=matcher),
+        similarity_threshold=0.3,
+        verify_batch=256,
+        detect_scale=0.5,
+    )
+
+    best = None
+    for _ in range(reps):
+        pipe.spr.vpr.descriptors = []
+        pipe.spr.vpr._matrix_cache = None
+        res = pipe.process(images, timestamps, floors, K, encode_batch_size=128)
+        if best is None or res.pairs_per_sec > best.pairs_per_sec:
+            best = res
+    return {
+        "metric": "full_gate_keyframe_pairs_per_sec"
+        + ("" if parity_ok else "_synthetic_only"),
+        "value": round(best.pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(best.pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 3),
+    }
+
+
+def main():
+    mode = os.environ.get("MLIS_BENCH_MODE", "full")
+    out = bench_full_gate() if mode == "full" else bench_sweep()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,261 @@
+"""Full semantic gate: VPR retrieval -> floor gate -> geometric verification.
+
+This is the BASELINE.json north-star path: gate loop-closure keyframe
+pairs at >= 500 pairs/sec/chip on v5e. Stage order matches the reference's
+compute-saving design (SemanticGeometricVerifier semantics,
+geometric_verification.py:665-744): the floor gate short-circuits
+cross-floor candidates BEFORE any matcher work, so only same-floor
+survivors pay for SuperPoint + LightGlue + RANSAC.
+
+All stages run as fixed-shape device batches:
+  1. descriptors: VPR encoder batches (models/*)
+  2. retrieval: tiled cosine top-k with temporal masking (ops/knn.py)
+  3. floor gate: one vectorized label compare (gating/gate.py)
+  4. verification: detector + matcher + vmapped essential RANSAC over
+     pair batches (gating/verification.py verify_pairs_batch)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mlis_tpu.gating.gate import gate_mask
+from mlis_tpu.gating.place_recognition import SemanticPlaceRecognition
+from mlis_tpu.gating.verification import GeometricVerifier, MatchResult
+from mlis_tpu.ops.image import to_grayscale
+from mlis_tpu.ops.knn import cosine_topk
+
+
+@dataclass
+class FullGateResult:
+    total_pairs: int = 0
+    cross_floor_rejected: int = 0
+    verified: int = 0
+    geometrically_valid: int = 0
+    results: List[MatchResult] = field(default_factory=list)
+    elapsed_s: float = 0.0
+    vpr_s: float = 0.0
+    retrieval_s: float = 0.0
+    verify_s: float = 0.0
+
+    @property
+    def pairs_per_sec(self) -> float:
+        return self.total_pairs / self.elapsed_s if self.elapsed_s > 0 else 0.0
+
+    def summary(self) -> Dict:
+        return {
+            "total_pairs": self.total_pairs,
+            "cross_floor_rejected": self.cross_floor_rejected,
+            "rejection_rate": self.cross_floor_rejected / self.total_pairs
+            if self.total_pairs
+            else 0.0,
+            "verified": self.verified,
+            "geometrically_valid": self.geometrically_valid,
+            "pairs_per_sec": self.pairs_per_sec,
+            "stage_seconds": {
+                "vpr": self.vpr_s,
+                "retrieval": self.retrieval_s,
+                "verification": self.verify_s,
+            },
+        }
+
+
+class FullGatePipeline:
+    """End-to-end keyframe gating with stage timing."""
+
+    def __init__(
+        self,
+        vpr: Optional[SemanticPlaceRecognition] = None,
+        verifier: Optional[GeometricVerifier] = None,
+        vpr_method: str = "cricavpr",
+        matcher_type: str = "lightglue",
+        top_k: int = 10,
+        similarity_threshold: float = 0.5,
+        min_time_gap: float = 10.0,
+        verify_batch: int = 64,
+        strict_floor: bool = True,
+        detect_scale: float = 1.0,
+        **model_kwargs,
+    ):
+        self.detect_scale = detect_scale
+        self.spr = vpr or SemanticPlaceRecognition(
+            vpr_method=vpr_method,
+            similarity_threshold=similarity_threshold,
+            min_time_gap=min_time_gap,
+            **model_kwargs,
+        )
+        self.verifier = verifier or GeometricVerifier(matcher_type=matcher_type)
+        self.top_k = top_k
+        self.similarity_threshold = similarity_threshold
+        self.min_time_gap = min_time_gap
+        self.verify_batch = verify_batch
+        self.strict_floor = strict_floor
+
+    def process(
+        self,
+        images: np.ndarray,  # (N, H, W, 3) uint8 keyframes
+        timestamps: np.ndarray,
+        floor_labels: np.ndarray,
+        K: np.ndarray,
+        encode_batch_size: int = 64,
+        verify: bool = True,
+    ) -> FullGateResult:
+        n = len(images)
+        res = FullGateResult()
+        t_start = time.perf_counter()
+
+        # upload keyframes ONCE; every stage reuses the device-resident
+        # array (host->device transfer through the TPU tunnel is a real
+        # cost at NUFR frame sizes)
+        images_dev = jnp.asarray(images)
+
+        # 1) descriptors
+        t0 = time.perf_counter()
+        for s in range(0, n, encode_batch_size):
+            e = min(s + encode_batch_size, n)
+            self.spr.add_images_batch(
+                images_dev[s:e], timestamps[s:e], floor_labels[s:e]
+            )
+        res.vpr_s = time.perf_counter() - t0
+
+        # 2) retrieval
+        t0 = time.perf_counter()
+        db = jnp.asarray(self.spr.vpr.build_descriptor_matrix())
+        times = jnp.asarray(self.spr.vpr.timestamps())
+        scores, idx = cosine_topk(
+            db, db, times, times, k=min(self.top_k, n),
+            min_time_gap=self.min_time_gap,
+        )
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        res.retrieval_s = time.perf_counter() - t0
+
+        # candidate pairs above threshold, deduplicated (i < j)
+        qi, kk = np.nonzero(np.isfinite(scores) & (scores >= self.similarity_threshold))
+        mj = idx[qi, kk]
+        lo = np.minimum(qi, mj)
+        hi = np.maximum(qi, mj)
+        pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        res.total_pairs = len(pairs)
+
+        if res.total_pairs == 0:
+            res.elapsed_s = time.perf_counter() - t_start
+            return res
+
+        # 3) floor gate (vectorized, effectively free)
+        fl = np.asarray(floor_labels)
+        accept = np.asarray(
+            gate_mask(
+                jnp.asarray(fl), jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]),
+                self.strict_floor,
+            )
+        )
+        res.cross_floor_rejected = int((~accept).sum())
+        survivors = pairs[accept]
+
+        # 4) geometric verification of survivors — keypoints detected ONCE
+        # per keyframe, then fused match+RANSAC over gathered pair batches
+        if verify and len(survivors):
+            t0 = time.perf_counter()
+            matcher = self.verifier.matcher
+            if hasattr(matcher, "make_fused_match_verify"):
+                res.results = self._verify_detect_once(
+                    matcher, images_dev, survivors, K,
+                    detect_scale=self.detect_scale,
+                )
+            else:
+                gray = np.asarray(to_grayscale(images_dev))
+                res.results = self.verifier.verify_pairs_batch(
+                    gray[survivors[:, 0]],
+                    gray[survivors[:, 1]],
+                    K,
+                    indices=[(int(a), int(b)) for a, b in survivors],
+                )
+            res.verify_s = time.perf_counter() - t0
+            res.verified = len(res.results)
+            res.geometrically_valid = sum(1 for r in res.results if r.is_valid)
+
+        res.elapsed_s = time.perf_counter() - t_start
+        return res
+
+    def _verify_detect_once(
+        self,
+        matcher,
+        images,  # device or host (N, H, W, 3) uint8
+        survivors: np.ndarray,
+        K: np.ndarray,
+        detect_batch: int = 128,
+        detect_scale: float = 1.0,
+    ) -> List[MatchResult]:
+        import jax
+
+        # detect all keyframes once, keep keypoints device-resident;
+        # optional detector downscale (coords rescaled back) trades a
+        # little recall for 1/scale^2 SuperPoint FLOPs
+        H, W = int(images.shape[1]), int(images.shape[2])
+        if detect_scale != 1.0:
+            h8 = (int(H * detect_scale) // 8) * 8
+            w8 = (int(W * detect_scale) // 8) * 8
+        else:
+            h8, w8 = (H // 8) * 8, (W // 8) * 8
+        gray = to_grayscale(jnp.asarray(images), size=(h8, w8))
+        sx, sy = W / w8, H / h8
+        hw = (H, W)
+        kps = []
+        for s in range(0, len(images), detect_batch):
+            kp = matcher.sp.detect(gray[s : s + detect_batch])
+            kp = kp._replace(
+                coords=kp.coords * jnp.asarray([sx, sy], jnp.float32)
+            )
+            kps.append(kp)
+        kp_all = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *kps
+        )
+
+        fused_key = (hw, float(np.asarray(K)[0, 0]), "match_only")
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if fused_key not in cache:
+            cache[fused_key] = matcher.make_fused_match_verify(
+                hw, K, self.verifier.ransac_threshold
+            )
+        fused = cache[fused_key]
+
+        results: List[MatchResult] = []
+        B = self.verify_batch
+        n_pairs = len(survivors)
+        # dispatch all chunks asynchronously, sync once at the end
+        pending = []
+        for s in range(0, n_pairs, B):
+            chunk = survivors[s : s + B]
+            pad = B - len(chunk)
+            qi = jnp.asarray(np.concatenate([chunk[:, 0], np.zeros(pad, np.int64)]))
+            mi = jnp.asarray(np.concatenate([chunk[:, 1], np.zeros(pad, np.int64)]))
+            pending.append(
+                (chunk, fused(matcher.params, kp_all, qi, mi, jax.random.PRNGKey(s)))
+            )
+        for chunk, out in pending:
+            n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts = jax.tree_util.tree_map(
+                np.asarray, out
+            )
+            for p in range(len(chunk)):
+                q, m = int(chunk[p, 0]), int(chunk[p, 1])
+                if n_match[p] < 5:
+                    from mlis_tpu.gating.verification import _invalid_result
+
+                    results.append(_invalid_result(q, m))
+                    continue
+                results.append(
+                    self.verifier._result_from_counts(
+                        q, m,
+                        int(n_kp0[p]), int(n_kp1[p]), int(n_match[p]),
+                        int(n_inl[p]), float(ratios[p]), Ts[p], Es[p],
+                    )
+                )
+        return results

@@ -248,32 +248,54 @@ class GeometricVerifier:
         indices: Optional[Sequence[Tuple[int, int]]] = None,
         seed: int = 0,
     ) -> List[MatchResult]:
-        """Device-resident batch: detector + matcher + vmapped RANSAC/pose.
-
-        Requires a matcher with `match_batch` (LightGlue/SuperGlue family).
+        """Device-resident batch: detector + matcher + vmapped RANSAC/pose
+        as ONE fused jitted dispatch when the matcher supports it
+        (per-dispatch latency dominates the multi-call path on the tunnel).
         """
-        kp0, kp1, matches = self.matcher.match_batch(
-            jnp.asarray(images0), jnp.asarray(images1)
-        )
-        P, Kk = matches.idx0.shape
-        # matched coordinate arrays, padded by validity mask
-        idx = jnp.clip(matches.idx0, 0, kp1.coords.shape[1] - 1)
-        mk1 = jnp.take_along_axis(kp1.coords, idx[..., None], axis=1)
-        res, T, good = essential_ransac_batch(
-            kp0.coords,
-            mk1,
-            matches.valid,
-            jnp.asarray(K, jnp.float32),
-            jax.random.PRNGKey(seed),
-            threshold_px=self.ransac_threshold,
-        )
-        n_match = np.asarray(jnp.sum(matches.valid, axis=1))
-        n_inl = np.asarray(res.num_inliers)
-        ratios = np.asarray(res.inlier_ratio)
-        Es = np.asarray(res.E)
-        Ts = np.asarray(T)
-        n_kp0 = np.asarray(jnp.sum(kp0.mask, axis=1))
-        n_kp1 = np.asarray(jnp.sum(kp1.mask, axis=1))
+        hw = (int(images0.shape[1]), int(images0.shape[2]))
+        if hasattr(self.matcher, "make_fused_verify"):
+            key = (hw, float(np.asarray(K)[0, 0]))
+            cache = getattr(self, "_fused_cache", None)
+            if cache is None:
+                cache = self._fused_cache = {}
+            if key not in cache:
+                cache[key] = self.matcher.make_fused_verify(
+                    hw, K, self.ransac_threshold
+                )
+            fused = cache[key]
+            n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts = jax.tree_util.tree_map(
+                np.asarray,
+                fused(
+                    self.matcher.sp.params,
+                    self.matcher.params,
+                    jnp.asarray(images0),
+                    jnp.asarray(images1),
+                    jax.random.PRNGKey(seed),
+                ),
+            )
+            P = len(n_match)
+        else:
+            kp0, kp1, matches = self.matcher.match_batch(
+                jnp.asarray(images0), jnp.asarray(images1)
+            )
+            P, Kk = matches.idx0.shape
+            idx = jnp.clip(matches.idx0, 0, kp1.coords.shape[1] - 1)
+            mk1 = jnp.take_along_axis(kp1.coords, idx[..., None], axis=1)
+            res, T, good = essential_ransac_batch(
+                kp0.coords,
+                mk1,
+                matches.valid,
+                jnp.asarray(K, jnp.float32),
+                jax.random.PRNGKey(seed),
+                threshold_px=self.ransac_threshold,
+            )
+            n_match = np.asarray(jnp.sum(matches.valid, axis=1))
+            n_inl = np.asarray(res.num_inliers)
+            ratios = np.asarray(res.inlier_ratio)
+            Es = np.asarray(res.E)
+            Ts = np.asarray(T)
+            n_kp0 = np.asarray(jnp.sum(kp0.mask, axis=1))
+            n_kp1 = np.asarray(jnp.sum(kp1.mask, axis=1))
 
         out = []
         for p in range(P):

@@ -88,8 +88,16 @@ class AttnLayer(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, source, bias):
-        """Residual MHA(x <- source) + MLP. bias: (B, 1, Kx, Ks) additive."""
+    def __call__(self, x, source, source_valid):
+        """Residual MHA(x <- source) + MLP.
+
+        source_valid: (B, Ks) prefix-valid keypoint mask (top-k keypoints
+        are score-sorted, so padding is always a suffix) — lets attention
+        run through the KV-tiled flash kernel with lengths instead of a
+        materialized (Kx, Ks) bias.
+        """
+        from mlis_tpu.ops.flash_attention import flash_mha
+
         B, Kx, _ = x.shape
         Dh = self.dim // self.num_heads
         q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x)
@@ -98,7 +106,12 @@ class AttnLayer(nn.Module):
         q = q.reshape(B, Kx, self.num_heads, Dh)
         k = k.reshape(B, source.shape[1], self.num_heads, Dh)
         v = v.reshape(B, source.shape[1], self.num_heads, Dh)
-        msg = multi_head_attention(q, k, v, bias, use_pallas=False)
+        if jax.devices()[0].platform == "tpu":
+            msg = flash_mha(q, k, v, kv_valid=source_valid)
+        else:
+            NEG = jnp.float32(-1e30)
+            bias = jnp.where(source_valid[:, None, None, :], 0.0, NEG)
+            msg = multi_head_attention(q, k, v, bias, use_pallas=False)
         msg = msg.reshape(B, Kx, self.dim).astype(self.dtype)
         msg = nn.Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         h = jnp.concatenate([x, msg], axis=-1)
@@ -118,14 +131,14 @@ class MatcherBlock(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        x0, x1, b00, b11 = carry
+        x0, x1, m0, m1 = carry
         self_layer = AttnLayer(self.dim, self.num_heads, self.dtype, name="self")
         cross_layer = AttnLayer(self.dim, self.num_heads, self.dtype, name="cross")
-        x0 = self_layer(x0, x0, b00)
-        x1 = self_layer(x1, x1, b11)
-        x0n = cross_layer(x0, x1, b11)
-        x1 = cross_layer(x1, x0, b00)
-        return (x0n, x1, b00, b11), None
+        x0 = self_layer(x0, x0, m0)
+        x1 = self_layer(x1, x1, m1)
+        x0n = cross_layer(x0, x1, m1)
+        x1 = cross_layer(x1, x0, m0)
+        return (x0n, x1, m0, m1), None
 
 
 class MatcherNet(nn.Module):
@@ -146,10 +159,6 @@ class MatcherNet(nn.Module):
             _posenc(c1, image_hw, cfg.dim).astype(cfg.dtype)
         )
 
-        NEG = jnp.float32(-1e30)
-        b00 = jnp.where(m0[:, None, None, :], 0.0, NEG)  # keys masked
-        b11 = jnp.where(m1[:, None, None, :], 0.0, NEG)
-
         # scan over depth: one traced body instead of `depth` unrolled
         # copies — keeps XLA compile time flat in depth
         blocks = nn.scan(
@@ -158,7 +167,7 @@ class MatcherNet(nn.Module):
             split_rngs={"params": True},
             length=cfg.depth,
         )(cfg.dim, cfg.num_heads, cfg.dtype, name="blocks")
-        (x0, x1, _, _), _ = blocks((x0, x1, b00, b11), None)
+        (x0, x1, _, _), _ = blocks((x0, x1, m0, m1), None)
 
         final_proj = nn.Dense(cfg.dim, dtype=jnp.float32, name="final_proj")
         f0 = final_proj(x0)
@@ -281,6 +290,120 @@ class LightGlue(BaseFeatureMatcher):
         kp1 = self.sp.detect(images1)
         hw = (int(images0.shape[1]), int(images0.shape[2]))
         return kp0, kp1, self.match_keypoints(kp0, kp1, hw)
+
+    # -- fused device pipeline ---------------------------------------------------
+    def make_fused_match_verify(
+        self,
+        image_hw: Tuple[int, int],
+        K: np.ndarray,
+        ransac_threshold: float = 3.0,
+        num_hypotheses: int = 512,
+    ):
+        """Fused matcher + RANSAC + pose over PRE-DETECTED keypoints.
+
+        Keyframes are detected once (SuperPoint is ~1 TFLOP/image at full
+        resolution); candidate pairs then only pay for matching +
+        verification. One device dispatch per pair batch.
+        """
+        from mlis_tpu.ops.epipolar import essential_ransac_batch
+
+        image_hw = (int(image_hw[0]), int(image_hw[1]))
+        self._init(self.sp.cfg.max_keypoints, self.sp.cfg.max_keypoints, image_hw)
+        m_cfg = self.cfg
+        K_j = jnp.asarray(K, jnp.float32)
+
+        def run(m_params, kp_all: Keypoints, qi, mi, key):
+            # gather the pair batch INSIDE the program: one dispatch for the
+            # whole match+verify stage
+            kp0 = jax.tree_util.tree_map(lambda x: x[qi], kp_all)
+            kp1 = jax.tree_util.tree_map(lambda x: x[mi], kp_all)
+            scores = self.net.apply(
+                m_params,
+                kp0.descriptors, kp0.coords, kp0.mask,
+                kp1.descriptors, kp1.coords, kp1.mask,
+                image_hw,
+            )
+            matches = extract_matches(
+                scores, kp0.mask, kp1.mask, m_cfg.match_threshold
+            )
+            idx = jnp.clip(matches.idx0, 0, kp1.coords.shape[1] - 1)
+            mk1 = jnp.take_along_axis(kp1.coords, idx[..., None], axis=1)
+            res, T, good = essential_ransac_batch(
+                kp0.coords, mk1, matches.valid, K_j, key,
+                num_hypotheses, ransac_threshold,
+            )
+            return (
+                jnp.sum(kp0.mask, axis=1),
+                jnp.sum(kp1.mask, axis=1),
+                jnp.sum(matches.valid, axis=1),
+                res.num_inliers,
+                res.inlier_ratio,
+                res.E,
+                T,
+            )
+
+        return jax.jit(run)
+
+    def make_fused_verify(
+        self,
+        image_hw: Tuple[int, int],
+        K: np.ndarray,
+        ransac_threshold: float = 3.0,
+        num_hypotheses: int = 512,
+    ):
+        """One jitted program: SuperPoint x2 -> matcher -> batched RANSAC ->
+        pose. A single device dispatch per pair-batch (the multi-call path
+        is dominated by per-dispatch latency through the TPU tunnel)."""
+        from mlis_tpu.models.superpoint import (
+            nms_heatmap,
+            sample_descriptors,
+            topk_keypoints,
+        )
+        from mlis_tpu.ops.epipolar import essential_ransac_batch
+
+        image_hw = (int(image_hw[0]), int(image_hw[1]))
+        self.sp.init_params(image_hw)
+        self._init(self.sp.cfg.max_keypoints, self.sp.cfg.max_keypoints, image_hw)
+        sp_net, sp_cfg = self.sp.net, self.sp.cfg
+        m_cfg = self.cfg
+        K_j = jnp.asarray(K, jnp.float32)
+
+        def run(sp_params, m_params, img0, img1, key):
+            def detect(imgs):
+                heat, dmap = sp_net.apply(sp_params, imgs)
+                heat = nms_heatmap(heat, sp_cfg.nms_radius)
+                coords, scores, mask = topk_keypoints(
+                    heat, sp_cfg.max_keypoints, sp_cfg.detection_threshold
+                )
+                descs = sample_descriptors(dmap, coords)
+                return Keypoints(coords, scores, descs, mask)
+
+            kp0 = detect(img0)
+            kp1 = detect(img1)
+            scores = self.net.apply(
+                m_params,
+                kp0.descriptors, kp0.coords, kp0.mask,
+                kp1.descriptors, kp1.coords, kp1.mask,
+                image_hw,
+            )
+            matches = extract_matches(scores, kp0.mask, kp1.mask, m_cfg.match_threshold)
+            idx = jnp.clip(matches.idx0, 0, kp1.coords.shape[1] - 1)
+            mk1 = jnp.take_along_axis(kp1.coords, idx[..., None], axis=1)
+            res, T, good = essential_ransac_batch(
+                kp0.coords, mk1, matches.valid, K_j, key,
+                num_hypotheses, ransac_threshold,
+            )
+            return (
+                jnp.sum(kp0.mask, axis=1),
+                jnp.sum(kp1.mask, axis=1),
+                jnp.sum(matches.valid, axis=1),
+                res.num_inliers,
+                res.inlier_ratio,
+                res.E,
+                T,
+            )
+
+        return jax.jit(run)
 
     # -- reference-parity single-pair API --------------------------------------
     def detect_and_match(

@@ -117,11 +117,14 @@ def multi_head_attention(
         use_pallas = _on_tpu()
     B, S, H, Dh = q.shape
     T = k.shape[1]
+    if use_pallas and bias is None and S * T * 4 > _VMEM_SCORE_BUDGET:
+        # long sequences: KV-tiled flash kernel instead of the single-block
+        # score tile (which would overflow VMEM)
+        from mlis_tpu.ops.flash_attention import flash_mha
+
+        return flash_mha(q, k, v)
     if S * T * 4 > _VMEM_SCORE_BUDGET:
-        # score tile would blow VMEM in the single-block kernel; XLA's own
-        # fusion handles the long-sequence case until the KV-tiled flash
-        # kernel lands
-        use_pallas = False
+        use_pallas = False  # biased long-sequence path: let XLA fuse
 
     def flat(x, L):
         return x.transpose(0, 2, 1, 3).reshape(B * H, L, Dh)

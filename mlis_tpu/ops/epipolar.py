@@ -46,21 +46,58 @@ def normalize_points(pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-    """Essential matrix from >= 8 normalized correspondences.
+def _project_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the essential manifold (singular values -> 1, 1, 0)."""
+    u, s, vt = jnp.linalg.svd(E)
+    return u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ vt
 
-    x1, x2: (M, 2). Returns (3, 3) E projected onto the essential manifold.
+
+def _gauss_jordan_solve(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve M x = b for SPD M (n, n) with an unrolled-free Gauss-Jordan
+    fori_loop — pure elementwise/outer-product ops, no lax.linalg (batched
+    small SVD/LU on TPU costs ~1 s for the RANSAC hypothesis counts here)."""
+    n = M.shape[0]
+
+    def body(k, carry):
+        M, b = carry
+        piv = M[k, k]
+        piv = jnp.where(jnp.abs(piv) < 1e-12, 1e-12, piv)
+        rowk = M[k] / piv
+        bk = b[k] / piv
+        M = M.at[k].set(rowk)
+        b = b.at[k].set(bk)
+        col = M[:, k].at[k].set(0.0)
+        M = M - col[:, None] * rowk[None, :]
+        b = b - col * bk
+        return M, b
+
+    _, x = jax.lax.fori_loop(0, n, body, (M, b))
+    return x
+
+
+def _eight_point(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Essential matrix from >= 8 normalized correspondences (UNPROJECTED,
+    gauge-fixed E_33 = 1).
+
+    Instead of the null-space SVD (prohibitively slow batched on TPU), the
+    scale gauge is fixed by E_33 = 1 and the remaining 8 coefficients solve
+    the SPD normal equations A8^T A8 e = -A8^T a9 via Gauss-Jordan. The
+    Sampson error is scale-invariant, so hypothesis RANKING is unaffected;
+    degenerate samples (true E_33 ~ 0) produce poor hypotheses that RANSAC
+    discards, and the winning E gets an exact SVD essential projection in
+    essential_ransac.
     """
     h1 = to_homogeneous(x1)  # (M, 3)
     h2 = to_homogeneous(x2)
     # constraint rows: kron(h2_i, h1_i)
     A = (h2[:, :, None] * h1[:, None, :]).reshape(x1.shape[0], 9)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    E = vt[-1].reshape(3, 3)
-    u, s, vt2 = jnp.linalg.svd(E)
-    # essential manifold: two equal singular values, one zero
-    E = u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ vt2
-    return E
+    A8 = A[:, :8]
+    a9 = A[:, 8]
+    M = A8.T @ A8 + 1e-10 * jnp.eye(8, dtype=A.dtype)
+    rhs = -(A8.T @ a9)
+    e8 = _gauss_jordan_solve(M, rhs)
+    e = jnp.concatenate([e8, jnp.ones(1, A.dtype)])
+    return e.reshape(3, 3)
 
 
 def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -106,11 +143,22 @@ def essential_ransac(
     errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, N)
     inl = (errs < thr) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
-    best = jnp.argmax(counts)
 
-    E = Es[best]
-    mask = inl[best]
-    num = counts[best]
+    # The gauge-fixed fit is a general fundamental-style solution; a
+    # hypothesis can score well unprojected yet sit far from the essential
+    # manifold. Project + rescore the TOP_K unprojected candidates (a
+    # handful of exact 3x3 SVDs) and keep the best projected one.
+    TOP_K = 8
+    _, cand = jax.lax.top_k(counts, TOP_K)
+    E_cand = jax.vmap(_project_essential)(Es[cand])  # (TOP_K, 3, 3)
+    errs_c = jax.vmap(lambda E: sampson_error(E, x1, x2))(E_cand)
+    inl_c = (errs_c < thr) & valid[None, :]
+    counts_c = jnp.sum(inl_c, axis=1)
+    best = jnp.argmax(counts_c)
+
+    E = E_cand[best]
+    mask = inl_c[best]
+    num = counts_c[best]
     ratio = num / jnp.maximum(n_valid, 1)
     return EssentialResult(E, mask, num.astype(jnp.int32), ratio.astype(jnp.float32))
 

@@ -1,0 +1,104 @@
+"""Full gate pipeline tests (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+
+from mlis_tpu.gating.full_gate import FullGatePipeline
+from mlis_tpu.gating.place_recognition import (
+    BasePlaceRecognition,
+    SemanticPlaceRecognition,
+)
+from mlis_tpu.gating.verification import GeometricVerifier
+from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+from mlis_tpu.models.superpoint import SuperPointConfig
+
+K_CAM = np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1.0]])
+
+
+class _PatchEncoder:
+    """Deterministic cheap encoder: downsampled grayscale as descriptor."""
+
+    def encode_batch(self, images):
+        x = images.astype(np.float32).mean(-1)
+        B = x.shape[0]
+        d = x[:, ::12, ::12].reshape(B, -1)
+        return d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-8)
+
+
+def _scene_images(rng, n):
+    bases = [
+        np.kron(
+            rng.integers(0, 255, (15, 20, 3), dtype=np.uint8),
+            np.ones((8, 8, 1), np.uint8),
+        )[:120, :160]
+        for _ in range(4)
+    ]
+    return np.stack([bases[i % 4] for i in range(n)])
+
+
+@pytest.fixture
+def pipeline():
+    vpr_db = BasePlaceRecognition(descriptor_dim=110, encoder=_PatchEncoder())
+    spr = SemanticPlaceRecognition(
+        vpr_method=vpr_db, similarity_threshold=0.9, min_time_gap=10.0
+    )
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+        matcher_cfg=MatcherConfig.tiny_test(),
+    )
+    return FullGatePipeline(
+        vpr=spr,
+        verifier=GeometricVerifier(matcher=lg),
+        similarity_threshold=0.9,
+        verify_batch=8,
+    )
+
+
+def test_full_gate_end_to_end(rng, pipeline):
+    n = 16
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 8 + [2] * 8)
+    res = pipeline.process(images, times, floors, K_CAM)
+
+    assert res.total_pairs > 0
+    # identical scenes repeat across the two floors -> cross-floor aliases
+    assert res.cross_floor_rejected > 0
+    assert res.verified == res.total_pairs - res.cross_floor_rejected
+    assert res.verified == len(res.results)
+    assert res.elapsed_s > 0
+    s = res.summary()
+    assert 0 < s["rejection_rate"] < 1
+    assert set(s["stage_seconds"]) == {"vpr", "retrieval", "verification"}
+    # every verified pair is same-floor by construction
+    for r in res.results:
+        assert floors[r.query_idx] == floors[r.match_idx]
+
+
+def test_full_gate_no_verify_mode(rng, pipeline):
+    n = 12
+    images = _scene_images(rng, n)
+    res = pipeline.process(
+        images, np.arange(n) * 30.0, np.asarray([5] * n), K_CAM, verify=False
+    )
+    assert res.verified == 0
+    assert res.cross_floor_rejected == 0  # single floor
+
+
+def test_full_gate_empty_when_threshold_high(rng):
+    vpr_db = BasePlaceRecognition(descriptor_dim=110, encoder=_PatchEncoder())
+    spr = SemanticPlaceRecognition(vpr_method=vpr_db, similarity_threshold=1.1)
+    pipe = FullGatePipeline(
+        vpr=spr,
+        verifier=GeometricVerifier(
+            matcher=LightGlue(
+                sp_cfg=SuperPointConfig.tiny_test(max_keypoints=32),
+                matcher_cfg=MatcherConfig.tiny_test(),
+            )
+        ),
+        similarity_threshold=1.1,
+    )
+    images = _scene_images(rng, 8)
+    res = pipe.process(images, np.arange(8) * 30.0, np.ones(8, int), K_CAM)
+    assert res.total_pairs == 0
+    assert res.pairs_per_sec == 0.0
