@@ -125,6 +125,55 @@ def _cmd_bag(args) -> int:
     return 0
 
 
+def _cmd_fullgate(args) -> int:
+    """Run the full VPR -> gate -> verify pipeline on a keyframe directory
+    (PNG/JPG images named so lexicographic order == time order) or on the
+    synthetic benchmark scene."""
+    import numpy as np
+
+    from mlis_tpu.gating.full_gate import FullGatePipeline
+
+    pipe = FullGatePipeline(
+        vpr_method=args.vpr,
+        matcher_type=args.matcher,
+        similarity_threshold=args.similarity_threshold,
+        detect_scale=args.detect_scale,
+    )
+    if args.images:
+        from PIL import Image  # pillow ships with matplotlib
+
+        files = sorted(Path(args.images).glob("*.png")) + sorted(
+            Path(args.images).glob("*.jpg")
+        )
+        images = np.stack([np.asarray(Image.open(f))[..., :3] for f in files])
+        n = len(images)
+        timestamps = np.arange(n) * (1.0 / args.rate)
+        floors = (
+            np.loadtxt(args.floors).astype(int)
+            if args.floors
+            else np.zeros(n, int)
+        )
+    else:
+        rng = np.random.default_rng(0)
+        n = 64
+        bases = [
+            np.kron(
+                rng.integers(0, 255, (68, 90, 3), dtype=np.uint8),
+                np.ones((8, 8, 1), np.uint8),
+            )[:540, :720]
+            for _ in range(8)
+        ]
+        images = np.stack([bases[i % 8] for i in range(n)])
+        timestamps = np.arange(n) * 30.0
+        floors = np.asarray([5] * (n // 2) + [2] * (n // 2))
+    K = np.array(
+        [[args.fx, 0, images.shape[2] / 2], [0, args.fx, images.shape[1] / 2], [0, 0, 1]]
+    )
+    res = pipe.process(images, timestamps, floors, K)
+    print(json.dumps(res.summary(), indent=2))
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import runpy
 
@@ -168,6 +217,16 @@ def main(argv=None) -> int:
     p.add_argument("--topic")
     p.add_argument("--output")
 
+    p = sub.add_parser("fullgate", help="full VPR->gate->verify pipeline")
+    p.add_argument("--images", help="keyframe image directory (else synthetic)")
+    p.add_argument("--floors", help="per-keyframe floor-label file")
+    p.add_argument("--vpr", default="mixvpr")
+    p.add_argument("--matcher", default="lightglue")
+    p.add_argument("--similarity-threshold", type=float, default=0.5)
+    p.add_argument("--detect-scale", type=float, default=1.0)
+    p.add_argument("--rate", type=float, default=20.0)
+    p.add_argument("--fx", type=float, default=400.0)
+
     sub.add_parser("bench", help="one-line JSON benchmark")
 
     args, extra = parser.parse_known_args(argv)
@@ -181,6 +240,8 @@ def main(argv=None) -> int:
         return _cmd_calib(args)
     if args.cmd == "bag":
         return _cmd_bag(args)
+    if args.cmd == "fullgate":
+        return _cmd_fullgate(args)
     if args.cmd == "bench":
         return _cmd_bench(args)
     parser.print_help()

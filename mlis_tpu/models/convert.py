@@ -137,6 +137,33 @@ def convert_dinov2_torch(
     return _match_dtypes(out, template)
 
 
+def convert_superpoint_torch(
+    state_dict: Mapping[str, Any], template: Dict[str, Any]
+) -> Dict[str, Any]:
+    """magicleap SuperPointNet state_dict -> models/superpoint params.
+
+    Name mapping: conv{1..4}{a,b} -> conv{1..4}_{0,1}; convPa/convPb ->
+    det_conv/det_out; convDa/convDb -> desc_conv/desc_out.
+    """
+    sd = state_dict
+
+    def conv_entry(name):
+        return {
+            "kernel": _conv(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"]),
+        }
+
+    out: Dict[str, Any] = {}
+    for i in (1, 2, 3, 4):
+        out[f"conv{i}_0"] = conv_entry(f"conv{i}a")
+        out[f"conv{i}_1"] = conv_entry(f"conv{i}b")
+    out["det_conv"] = conv_entry("convPa")
+    out["det_out"] = conv_entry("convPb")
+    out["desc_conv"] = conv_entry("convDa")
+    out["desc_out"] = conv_entry("convDb")
+    return _match_dtypes(out, template)
+
+
 def _match_dtypes(new: Any, template: Any) -> Any:
     """Cast converted arrays to the template's dtypes and assert shapes."""
     if isinstance(template, Mapping):

@@ -66,7 +66,9 @@ class CricaVPR(JaxEncoderVPR):
             self._jit_full = jax.jit(self._forward_full)
         x = preprocess_imagenet(jnp.asarray(images), self.input_size)
         desc, patches = self._jit_full(self.params, x)
-        patches = np.asarray(patches, dtype=np.float32)
+        # keep patch features DEVICE-RESIDENT: downloading (B, 529, 768)
+        # through the TPU tunnel costs seconds per batch, and the rerank
+        # correlation consumes them on-device anyway
         for i in range(patches.shape[0]):
             self.patch_cache.append(patches[i])
         return np.asarray(desc, dtype=np.float32)

@@ -108,6 +108,5 @@ class MixVPR(JaxEncoderVPR):
         from mlis_tpu.models.convert import convert_resnet_torch
 
         backbone = convert_resnet_torch(state_dict, self.params["params"]["backbone"])
-        self.params = jax.tree_util.tree_map(lambda x: x, self.params)
         self.params["params"]["backbone"] = backbone
         self._jit_forward = None

@@ -114,3 +114,35 @@ def test_converter_accepts_torch_tensors(rng):
     sd = {k: torch.from_numpy(v) for k, v in _fake_dinov2_sd(rng, cfg).items()}
     new = convert_dinov2_torch(sd, params["params"])
     assert new["cls_token"].shape == (1, 1, cfg.dim)
+
+
+def test_superpoint_converter(rng):
+    from mlis_tpu.models.convert import convert_superpoint_torch
+    from mlis_tpu.models.superpoint import SuperPoint, SuperPointConfig
+
+    sp = SuperPoint(SuperPointConfig())  # full-size channel plan
+    params = sp.init_params((64, 64))
+
+    chans = [(1, 64), (64, 64), (64, 64), (64, 64), (64, 128), (128, 128),
+             (128, 128), (128, 128)]
+    names = ["conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+             "conv4a", "conv4b"]
+    sd = {}
+    for (cin, cout), nm in zip(chans, names):
+        sd[f"{nm}.weight"] = rng.normal(size=(cout, cin, 3, 3)).astype(np.float32)
+        sd[f"{nm}.bias"] = rng.normal(size=cout).astype(np.float32)
+    sd["convPa.weight"] = rng.normal(size=(256, 128, 3, 3)).astype(np.float32)
+    sd["convPa.bias"] = rng.normal(size=256).astype(np.float32)
+    sd["convPb.weight"] = rng.normal(size=(65, 256, 1, 1)).astype(np.float32)
+    sd["convPb.bias"] = rng.normal(size=65).astype(np.float32)
+    sd["convDa.weight"] = rng.normal(size=(256, 128, 3, 3)).astype(np.float32)
+    sd["convDa.bias"] = rng.normal(size=256).astype(np.float32)
+    sd["convDb.weight"] = rng.normal(size=(256, 256, 1, 1)).astype(np.float32)
+    sd["convDb.bias"] = rng.normal(size=256).astype(np.float32)
+
+    new = convert_superpoint_torch(sd, params["params"])
+    sp.params = {"params": new}
+    import jax.numpy as jnp
+
+    kp = sp.detect(jnp.ones((1, 64, 64, 1)) * 0.5)
+    assert np.isfinite(np.asarray(kp.scores)).all()
