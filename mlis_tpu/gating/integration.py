@@ -261,12 +261,59 @@ def run_comparison(
     trajectory_root: str,
     output_dir: str = "./results/semantic_gating",
     algorithms: Optional[List[str]] = None,
+    save_report: bool = True,
 ) -> Dict[str, LoopClosureAnalysis]:
     """Run all integrations and emit the cross-algorithm comparison stats."""
     algorithms = algorithms or list(INTEGRATIONS)
     results: Dict[str, LoopClosureAnalysis] = {}
+    meta: Dict[str, Dict] = {}
     for algo in algorithms:
         integ = INTEGRATIONS[algo](trajectory_root, output_dir)
-        integ.load_and_combine()
+        combined, floors = integ.load_and_combine()
         results[algo] = integ.analyze()
+        fl, counts = np.unique(floors, return_counts=True)
+        meta[algo] = {
+            "poses": len(combined),
+            "sequences": len(integ.sequences),
+            "duration": float(combined[-1, 0] - combined[0, 0]),
+            "floor_dist": {int(f): float(c / len(floors)) for f, c in zip(fl, counts)},
+        }
+    if save_report:
+        Path(output_dir).mkdir(parents=True, exist_ok=True)
+        (Path(output_dir) / "semantic_gating_comparison.txt").write_text(
+            comparison_text(results, meta)
+        )
     return results
+
+
+def comparison_text(
+    results: Dict[str, LoopClosureAnalysis], meta: Dict[str, Dict]
+) -> str:
+    """Cross-algorithm comparison table (the reference's headline artifact,
+    results/semantic_gating/semantic_gating_comparison.txt)."""
+    algos = list(results)
+    bar = "=" * 70
+    lines = [bar, "SEMANTIC GATING COMPARISON", bar, ""]
+    header = f"{'Metric':<28}" + "".join(f"{a:<16}" for a in algos)
+    lines += [header, "-" * len(header)]
+
+    def row(label, fn):
+        lines.append(f"{label:<28}" + "".join(f"{fn(a):<16}" for a in algos))
+
+    row("Total poses", lambda a: f"{meta[a]['poses']:,}")
+    row("Sequences loaded", lambda a: str(meta[a]["sequences"]))
+    row("Total duration (s)", lambda a: f"{meta[a]['duration']:.1f}")
+    lines.append("")
+    all_floors = sorted({f for a in algos for f in meta[a]["floor_dist"]})
+    for f in all_floors:
+        row(
+            f"  Floor {f}",
+            lambda a, f=f: f"{100 * meta[a]['floor_dist'].get(f, 0):.1f}%",
+        )
+    lines.append("")
+    row("Loop closure candidates", lambda a: f"{results[a].total_candidates:,}")
+    row("Same-floor (valid)", lambda a: f"{results[a].same_floor_candidates:,}")
+    row("Cross-floor (rejected)", lambda a: f"{results[a].cross_floor_candidates:,}")
+    row("CROSS-FLOOR RATE", lambda a: f"{results[a].cross_floor_rate:.1%}")
+    lines += ["", bar]
+    return "\n".join(lines)

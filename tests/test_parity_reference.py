@@ -66,3 +66,17 @@ def test_floor_distribution_parity():
         f: round(100 * (floors == f).mean(), 1) for f in np.unique(floors)
     }
     assert dist == {1: 13.3, 2: 27.6, 4: 13.6, 5: 45.5}
+
+
+@requires_reference_data
+def test_run_comparison_report(tmp_path):
+    from mlis_tpu.gating.integration import run_comparison
+
+    results = run_comparison(
+        REFERENCE_TRAJECTORIES, str(tmp_path), algorithms=["lego_loam"]
+    )
+    assert results["lego_loam"].total_candidates == 87044
+    report = (tmp_path / "semantic_gating_comparison.txt").read_text()
+    assert "87,044" in report
+    assert "75.3%" in report
+    assert "CROSS-FLOOR RATE" in report
