@@ -49,14 +49,10 @@ def _split_hi_lo(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def _count_kernel(
-    params_ref,  # SMEM (1, 4): [n, min_gap, r2_lo, r2_hi] (float32)
-    rows_hi_ref,  # (TI, 4) float32: x, y, z, floor for row block
-    rows_lo_ref,  # (TI, 4)
-    cols_hi_ref,  # (4, TJ)
-    cols_lo_ref,  # (4, TJ)
-    out_ref,  # (1, n_j, 4) int32 row of tiles: [sure_total, sure_same, band, pad]
+def _tile_counts(
+    params_ref, rows_hi_ref, rows_lo_ref, cols_hi_ref, cols_lo_ref, tile_i, tile_j
 ):
+    """Counts for one (TI, TJ) tile: [sure_total, sure_same, band, 0]."""
     n = params_ref[0, 0]
     min_gap = params_ref[0, 1]
     r2_lo = params_ref[0, 2]
@@ -77,8 +73,8 @@ def _count_kernel(
     dz = coord_diff(2)
     d2 = dx * dx + dy * dy + dz * dz
 
-    i0 = pl.program_id(0) * ti
-    j0 = pl.program_id(1) * tj
+    i0 = tile_i * ti
+    j0 = tile_j * tj
     row_ids = (
         i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
     ).astype(jnp.float32)
@@ -96,8 +92,7 @@ def _count_kernel(
     sure = pair_ok & (d2 <= r2_lo)
     band = pair_ok & (d2 > r2_lo) & (d2 <= r2_hi)
 
-    j = pl.program_id(1)
-    counts = jnp.stack(
+    return jnp.stack(
         [
             jnp.sum(sure.astype(jnp.int32)),
             jnp.sum((sure & same_floor).astype(jnp.int32)),
@@ -105,7 +100,21 @@ def _count_kernel(
             jnp.int32(0),
         ]
     )
-    out_ref[0, j, :] = counts
+
+
+def _count_kernel(
+    params_ref,  # SMEM (1, 4): [n, min_gap, r2_lo, r2_hi] (float32)
+    rows_hi_ref,  # (TI, 4) float32: x, y, z, floor for row block
+    rows_lo_ref,  # (TI, 4)
+    cols_hi_ref,  # (4, TJ)
+    cols_lo_ref,  # (4, TJ)
+    out_ref,  # (1, n_j, 4) int32 row of tiles
+):
+    counts = _tile_counts(
+        params_ref, rows_hi_ref, rows_lo_ref, cols_hi_ref, cols_lo_ref,
+        pl.program_id(0), pl.program_id(1),
+    )
+    out_ref[0, pl.program_id(1), :] = counts
 
 
 @functools.partial(jax.jit, static_argnames=("n_i", "n_j", "interpret"))
@@ -124,6 +133,50 @@ def _run_count_kernel(params, rows_hi, rows_lo, cols_hi, cols_lo, n_i, n_j, inte
         out_shape=jax.ShapeDtypeStruct((n_i, n_j, 4), jnp.int32),
         interpret=interpret,
     )(params, rows_hi, rows_lo, cols_hi, cols_lo)
+
+
+def _tri_count_kernel(
+    ti_ref,  # SMEM (T,): row-tile index per grid step
+    tj_ref,  # SMEM (T,): col-tile index per grid step
+    params_ref,  # SMEM (1, 4)
+    rows_hi_ref, rows_lo_ref, cols_hi_ref, cols_lo_ref,
+    out_ref,  # (1, 4) int32 per grid step
+):
+    """Upper-triangle-only variant: a 1D grid walks precomputed (ti, tj)
+    tile pairs with tj >= ti, skipping the ~half of the pair space that the
+    j - i >= min_gap condition masks out entirely."""
+    t = pl.program_id(0)
+    counts = _tile_counts(
+        params_ref, rows_hi_ref, rows_lo_ref, cols_hi_ref, cols_lo_ref,
+        ti_ref[t], tj_ref[t],
+    )
+    out_ref[t, :] = counts
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "interpret"))
+def _run_tri_count_kernel(
+    ti, tj, params, rows_hi, rows_lo, cols_hi, cols_lo, n_tiles, interpret
+):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda t, ti, tj: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TI, 4), lambda t, ti, tj: (ti[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TI, 4), lambda t, ti, tj: (ti[t], 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _TJ), lambda t, ti, tj: (0, tj[t]), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, _TJ), lambda t, ti, tj: (0, tj[t]), memory_space=pltpu.VMEM),
+        ],
+        # full-array output block resident in VMEM across the whole grid
+        # (n_tiles x 4 int32 is tiny); each step writes its own row
+        out_specs=pl.BlockSpec((n_tiles, 4), lambda t, ti, tj: (0, 0)),
+    )
+    return pl.pallas_call(
+        _tri_count_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4), jnp.int32),
+        interpret=interpret,
+    )(ti, tj, params, rows_hi, rows_lo, cols_hi, cols_lo)
 
 
 def _pack_inputs(positions: np.ndarray, floors: np.ndarray):
@@ -195,30 +248,40 @@ def candidate_counts(
     params = jnp.asarray(
         [[float(n), float(min_gap), r_lo * r_lo, r_hi * r_hi]], dtype=jnp.float32
     )
+
+    # Upper-triangle tile enumeration: a (ti, tj) tile can only hold valid
+    # pairs if its largest column index reaches min_gap past its smallest
+    # row index — roughly half the tiles are skipped outright.
+    ti_idx, tj_idx = np.meshgrid(np.arange(n_i), np.arange(n_j), indexing="ij")
+    keep = (tj_idx + 1) * _TJ - 1 >= ti_idx * _TI + min_gap
+    ti_list = np.ascontiguousarray(ti_idx[keep], np.int32)
+    tj_list = np.ascontiguousarray(tj_idx[keep], np.int32)
+    n_tiles = len(ti_list)
+
     tiles = np.asarray(
-        _run_count_kernel(
+        _run_tri_count_kernel(
+            jnp.asarray(ti_list),
+            jnp.asarray(tj_list),
             params,
             jnp.asarray(rows_hi),
             jnp.asarray(rows_lo),
             jnp.asarray(cols_hi),
             jnp.asarray(cols_lo),
-            n_i,
-            n_j,
+            n_tiles,
             not _on_tpu(),
         )
     )
 
-    total = int(tiles[:, :, 0].sum())
-    same = int(tiles[:, :, 1].sum())
+    total = int(tiles[:, 0].sum())
+    same = int(tiles[:, 1].sum())
 
     if exact:
-        band_tiles = np.argwhere(tiles[:, :, 2] > 0)
-        for ti, tj in band_tiles:
+        for t in np.nonzero(tiles[:, 2] > 0)[0]:
             # Discard this tile's on-device counts; recompute exactly.
-            total -= int(tiles[ti, tj, 0])
-            same -= int(tiles[ti, tj, 1])
+            total -= int(tiles[t, 0])
+            same -= int(tiles[t, 1])
             t_tot, t_same = _host_tile_counts(
-                positions, floors, int(ti), int(tj), radius, min_gap
+                positions, floors, int(ti_list[t]), int(tj_list[t]), radius, min_gap
             )
             total += t_tot
             same += t_same
