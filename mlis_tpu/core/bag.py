@@ -470,6 +470,60 @@ def extract_stereo_pairs(
         yield from try_match()
 
 
+def export_euroc(
+    bag_path,
+    output_dir,
+    left_topic: str = "/camera_array/cam1/image_raw",
+    right_topic: str = "/camera_array/cam3/image_raw",
+    imu_topic: str = "/vectornav/imu",
+    max_dt: float = 0.01,
+) -> dict:
+    """Bag -> EuRoC ASL `mav0/` layout (capability parity with the
+    reference's scripts/basalt/extract_to_euroc.py:33-120): cam0/cam1 PNG
+    frames named by nanosecond stamp + data.csv indexes, imu0/data.csv.
+
+    Returns counts per stream.
+    """
+    from pathlib import Path as _P
+
+    out = _P(output_dir) / "mav0"
+    cam0 = out / "cam0" / "data"
+    cam1 = out / "cam1" / "data"
+    imu0 = out / "imu0"
+    for d in (cam0, cam1, imu0):
+        d.mkdir(parents=True, exist_ok=True)
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pillow ships with matplotlib in this env
+        raise RuntimeError("PNG export requires pillow") from e
+
+    n_pairs = 0
+    rows0, rows1 = [], []
+    for stamp, left, right in extract_stereo_pairs(
+        bag_path, left_topic, right_topic, max_dt
+    ):
+        ns = int(round(stamp * 1e9))
+        Image.fromarray(left).save(cam0 / f"{ns}.png")
+        Image.fromarray(right).save(cam1 / f"{ns}.png")
+        rows0.append(f"{ns},{ns}.png")
+        rows1.append(f"{ns},{ns}.png")
+        n_pairs += 1
+    header = "#timestamp [ns],filename\n"
+    (out / "cam0" / "data.csv").write_text(header + "\n".join(rows0) + "\n")
+    (out / "cam1" / "data.csv").write_text(header + "\n".join(rows1) + "\n")
+
+    t, accel, gyro = extract_imu(bag_path, imu_topic)
+    imu_rows = [
+        f"{int(round(ti * 1e9))},{g[0]},{g[1]},{g[2]},{a[0]},{a[1]},{a[2]}"
+        for ti, a, g in zip(t, accel, gyro)
+    ]
+    (imu0 / "data.csv").write_text(
+        "#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n" + "\n".join(imu_rows) + "\n"
+    )
+    return {"stereo_pairs": n_pairs, "imu_samples": len(t)}
+
+
 def extract_pointclouds(bag_path, topic: str = "/ouster/points", ring_field: str = "ring"):
     """Bag -> iterator of (stamp, xyz (N,3) float32, ring (N,) int32|None)."""
     from mlis_tpu.runtime.native import decode_pointcloud

@@ -162,3 +162,55 @@ def test_velocity_metrics():
     vm = trajectory_velocity_metrics(tum)
     assert vm["mean_velocity"] == pytest.approx(2.0, rel=1e-6)
     assert vm["velocity_std"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_paper_figures(tmp_path):
+    import os
+
+    if not os.path.isdir("/root/reference/results/trajectories"):
+        pytest.skip("reference data unavailable")
+    from mlis_tpu.viz.paper_figures import generate_figure6, generate_figure7
+
+    f6 = generate_figure6(
+        "/root/reference/results/trajectories", tmp_path / "fig6.png",
+        algorithm="lego_loam", sample_poses=800,
+    )
+    assert f6.exists() and f6.stat().st_size > 1000
+    f7 = generate_figure7(
+        "/root/reference/results/trajectories", tmp_path / "fig7.png"
+    )
+    assert f7 is not None and f7.exists()
+
+
+def test_euroc_export(tmp_path, rng):
+    from mlis_tpu.core.bag import (
+        BagWriter,
+        encode_image,
+        encode_imu,
+        export_euroc,
+    )
+
+    bag = tmp_path / "seq.bag"
+    w = BagWriter(bag)
+    img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    for i in range(4):
+        t = 100.0 + i * 0.05
+        w.write("/camera_array/cam1/image_raw", "sensor_msgs/Image", t,
+                encode_image(t, img))
+        w.write("/camera_array/cam3/image_raw", "sensor_msgs/Image", t + 0.003,
+                encode_image(t + 0.003, img))
+    for i in range(20):
+        t = 100.0 + i * 0.005
+        w.write("/vectornav/imu", "sensor_msgs/Imu", t,
+                encode_imu(t, [0, 0, 9.81], [0.1, 0, 0]))
+    w.close()
+
+    counts = export_euroc(bag, tmp_path / "euroc")
+    assert counts == {"stereo_pairs": 4, "imu_samples": 20}
+    mav0 = tmp_path / "euroc" / "mav0"
+    assert len(list((mav0 / "cam0" / "data").glob("*.png"))) == 4
+    csv = (mav0 / "imu0" / "data.csv").read_text().splitlines()
+    assert csv[0].startswith("#timestamp")
+    assert len(csv) == 21
+    # gyro before accel in EuRoC column order
+    assert csv[1].split(",")[1:4] == ["0.1", "0.0", "0.0"]
