@@ -169,10 +169,13 @@ class MatcherNet(nn.Module):
         )(cfg.dim, cfg.num_heads, cfg.dtype, name="blocks")
         (x0, x1, _, _), _ = blocks((x0, x1, m0, m1), None)
 
-        final_proj = nn.Dense(cfg.dim, dtype=jnp.float32, name="final_proj")
+        # bf16 operands, f32 accumulation for the (K0, K1) similarity GEMM
+        final_proj = nn.Dense(cfg.dim, dtype=cfg.dtype, name="final_proj")
         f0 = final_proj(x0)
         f1 = final_proj(x1)
-        sim = jnp.einsum("bkd,bld->bkl", f0, f1) / (cfg.dim**0.5)
+        sim = jnp.einsum(
+            "bkd,bld->bkl", f0, f1, preferred_element_type=jnp.float32
+        ) / (cfg.dim**0.5)
 
         if cfg.assignment == "sinkhorn":
             alpha = self.param("dustbin", nn.initializers.ones, ())

@@ -27,8 +27,12 @@ DEFAULT_BK = 512
 
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, out_ref):
     """Grid: (BH, S // BQ). Blocks: q (1, BQ, Dh); k/v (1, T, Dh) full;
-    kvlen is the whole (BH,) vector in SMEM, indexed by program id."""
-    q = q_ref[0].astype(jnp.float32)  # (BQ, Dh)
+    kvlen is the whole (BH,) vector in SMEM, indexed by program id.
+
+    Matmul operands stay in the INPUT dtype (bf16 from the matcher/ViT
+    stacks -> native-rate MXU) with float32 accumulation; softmax state is
+    float32 throughout."""
+    q = q_ref[0]  # (BQ, Dh) input dtype
     T = k_ref.shape[1]
     BQ = q.shape[0]
     Dh = q.shape[1]
@@ -40,8 +44,8 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, out_ref):
 
     def body(j, carry):
         acc, m_prev, l_prev = carry
-        k_tile = k_ref[0, pl.ds(j * BK, BK), :].astype(jnp.float32)  # (BK, Dh)
-        v_tile = v_ref[0, pl.ds(j * BK, BK), :].astype(jnp.float32)
+        k_tile = k_ref[0, pl.ds(j * BK, BK), :]  # (BK, Dh)
+        v_tile = v_ref[0, pl.ds(j * BK, BK), :]
         s = jnp.dot(q, k_tile.T, preferred_element_type=jnp.float32) * scale
 
         col = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
@@ -57,7 +61,9 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, out_ref):
             jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0
         )
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_tile, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v_tile.dtype), v_tile, preferred_element_type=jnp.float32
+        )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((BQ, Dh), jnp.float32)
