@@ -10,7 +10,7 @@ scripts/evaluation/comprehensive_evaluation.py:33-40).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from mlis_tpu.ops.knn import cosine_topk, l2_normalize, pairwise_similarity
+from mlis_tpu.ops.knn import cosine_topk, pairwise_similarity
 
 import jax.numpy as jnp
 

@@ -7,8 +7,7 @@ and plugs into the BasePlaceRecognition database API.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

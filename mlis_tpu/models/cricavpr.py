@@ -12,7 +12,7 @@ jitted ops rather than a per-candidate Python loop.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ projection to 4, flattened to a 4096-d descriptor.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import flax.linen as nn

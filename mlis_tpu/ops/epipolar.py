@@ -20,7 +20,7 @@ OpenCV's RANSAC is itself nondeterministic across runs.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ keep it XLA-friendly; accumulations in float32.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,15 +11,14 @@ collective moves k results per device, not the similarity matrix).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from mlis_tpu.ops.knn import cosine_topk, l2_normalize
+from mlis_tpu.ops.knn import cosine_topk
 from mlis_tpu.parallel.mesh import DATA_AXIS
 
 

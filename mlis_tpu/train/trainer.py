@@ -10,10 +10,9 @@ orbax.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import json
 import time
 from collections import defaultdict
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 
 class StageTimer:
