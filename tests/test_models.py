@@ -155,3 +155,23 @@ def test_sinkhorn_dustbin_shapes_and_mass(rng):
     p = np.asarray(jnp.exp(out))
     # each real row's mass (including dustbin) ~ 1
     np.testing.assert_allclose(p[:, :6, :].sum(axis=2), 1.0, atol=1e-3)
+
+
+def test_vit_remat_matches_forward_and_grads(rng):
+    cfg = ViTConfig.tiny_test()
+    x = jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32)
+    m_plain = ViT(cfg, use_pallas=False)
+    m_remat = ViT(cfg, use_pallas=False, remat=True)
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+
+    out_p = m_plain.apply(params, x)["cls"]
+    out_r = m_remat.apply(params, x)["cls"]
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=1e-5)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x)["cls"].astype(jnp.float32) ** 2)
+
+    g_p = jax.grad(loss(m_plain))(params)
+    g_r = jax.grad(loss(m_remat))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
