@@ -213,6 +213,7 @@ class SemanticIntegration:
         if make_figures:
             from mlis_tpu.viz.figures import (
                 plot_floor_segmentation,
+                plot_loop_closure_gating,
                 plot_multifloor_3d,
             )
 
@@ -227,6 +228,22 @@ class SemanticIntegration:
                 self.combined,
                 self.floor_labels,
                 self.output_dir / f"{self.algorithm}_3d_multifloor.png",
+                title=self.display_name,
+            )
+            # before/after gating links on a pose subsample (the reference's
+            # third per-algorithm figure)
+            step = max(len(self.combined) // 4000, 1)
+            sub = self.combined[::step]
+            sub_floors = self.floor_labels[::step]
+            qi, mi, _ = candidate_pairs_host(
+                sub[:, 1:4], sub_floors,
+                radius=distance_threshold, min_gap=max(min_time_gap // step, 2),
+            )
+            plot_loop_closure_gating(
+                sub,
+                sub_floors,
+                list(zip(qi, mi)),
+                self.output_dir / f"{self.algorithm}_loop_closure_gating.png",
                 title=self.display_name,
             )
         return report

@@ -219,8 +219,11 @@ class SemanticPlaceRecognition:
         return self.vpr.add_images_batch(images, timestamps, floor_labels, image_paths)
 
     def find_loop_closures(
-        self, enable_floor_gating: bool = True, k: int = 10
+        self, enable_floor_gating: bool = True, k: int = 10, rerank: bool = True
     ) -> List[PlaceMatch]:
+        """Retrieval + floor gating; when the encoder exposes patch-feature
+        reranking (CricaVPR), each query's candidates are re-scored with the
+        cross-correlation mix before thresholding (reference :714-757)."""
         n = len(self.vpr.descriptors)
         if n < 2:
             return []
@@ -233,26 +236,36 @@ class SemanticPlaceRecognition:
         idx = np.asarray(idx)
         floors = self.vpr.floor_labels()
         ts = self.vpr.timestamps()
+        use_rerank = (
+            rerank
+            and hasattr(self.vpr, "rerank_candidates")
+            and getattr(self.vpr, "use_reranking", False)
+        )
 
         matches: List[PlaceMatch] = []
         for i in range(n):
+            cand: List[PlaceMatch] = []
             for s, j in zip(scores[i], idx[i]):
-                if not np.isfinite(s) or s < self.similarity_threshold:
+                if not np.isfinite(s):
                     continue
-                qf, mf = floors[i], floors[j]
-                is_valid = True
-                if enable_floor_gating and qf > -(10**9) and mf > -(10**9):
-                    is_valid = bool(qf == mf)
-                matches.append(
+                cand.append(
                     PlaceMatch(
                         query_idx=i,
                         match_idx=int(j),
                         similarity=float(s),
                         query_timestamp=float(ts[i]),
-                        match_timestamp=float(ts[j]),
-                        is_valid=is_valid,
+                        match_timestamp=float(ts[int(j)]),
                     )
                 )
+            if use_rerank and cand:
+                cand = self.vpr.rerank_candidates(i, cand)
+            for m in cand:
+                if m.similarity < self.similarity_threshold:
+                    continue
+                qf, mf = floors[m.query_idx], floors[m.match_idx]
+                if enable_floor_gating and qf > -(10**9) and mf > -(10**9):
+                    m.is_valid = bool(qf == mf)
+                matches.append(m)
         return matches
 
     def get_statistics(self, matches: List[PlaceMatch]) -> Dict:

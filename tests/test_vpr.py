@@ -127,3 +127,21 @@ def test_base_query_api(rng):
     matches = db.query(np.zeros((4, 4, 3), np.uint8), timestamp=300.0, k=3)
     assert matches[0].match_idx == 3
     assert matches[0].similarity > 0.99
+
+
+def test_find_loop_closures_with_crica_rerank(rng, tiny_crica):
+    """CricaVPR path reranks top-k with patch correlations before gating."""
+    tiny_crica.descriptors = []
+    tiny_crica._matrix_cache = None
+    tiny_crica.patch_cache = []
+    spr = SemanticPlaceRecognition(
+        vpr_method=tiny_crica, similarity_threshold=0.0, min_time_gap=10.0
+    )
+    imgs = _images(rng, 6, 56, 56)
+    spr.add_images_batch(imgs, np.arange(6) * 30.0, [5, 5, 5, 2, 2, 2])
+    matches = spr.find_loop_closures(enable_floor_gating=True, k=3, rerank=True)
+    assert matches
+    # rerank blends scores but validity flags still reflect floor labels
+    for m in matches:
+        fl = [5, 5, 5, 2, 2, 2]
+        assert m.is_valid == (fl[m.query_idx] == fl[m.match_idx])
