@@ -114,6 +114,13 @@ class FullGatePipeline:
         # cost at NUFR frame sizes)
         images_dev = jnp.asarray(images)
 
+        # dispatch keypoint detection EARLY (async, device-resident output):
+        # it is independent of the VPR stage, so its compute overlaps the
+        # encode/retrieval round-trips below
+        kp_all = None
+        if verify and hasattr(self.verifier.matcher, "make_fused_match_verify"):
+            kp_all = self._detect_all(self.verifier.matcher, images_dev)
+
         # 1) descriptors
         t0 = time.perf_counter()
         for s in range(0, n, encode_batch_size):
@@ -163,10 +170,9 @@ class FullGatePipeline:
         if verify and len(survivors):
             t0 = time.perf_counter()
             matcher = self.verifier.matcher
-            if hasattr(matcher, "make_fused_match_verify"):
+            if kp_all is not None:
                 res.results = self._verify_detect_once(
-                    matcher, images_dev, survivors, K,
-                    detect_scale=self.detect_scale,
+                    matcher, images_dev, survivors, K, kp_all=kp_all
                 )
             else:
                 gray = np.asarray(to_grayscale(images_dev))
@@ -183,20 +189,15 @@ class FullGatePipeline:
         res.elapsed_s = time.perf_counter() - t_start
         return res
 
-    def _verify_detect_once(
-        self,
-        matcher,
-        images,  # device or host (N, H, W, 3) uint8
-        survivors: np.ndarray,
-        K: np.ndarray,
-        detect_batch: int = 128,
-        detect_scale: float = 1.0,
-    ) -> List[MatchResult]:
+    def _detect_all(self, matcher, images, detect_batch: int = 128):
+        """Detect keypoints for all keyframes once (async, device-resident).
+
+        Optional detector downscale (coords rescaled back) trades a little
+        recall for 1/scale^2 SuperPoint FLOPs.
+        """
         import jax
 
-        # detect all keyframes once, keep keypoints device-resident;
-        # optional detector downscale (coords rescaled back) trades a
-        # little recall for 1/scale^2 SuperPoint FLOPs
+        detect_scale = self.detect_scale
         H, W = int(images.shape[1]), int(images.shape[2])
         if detect_scale != 1.0:
             h8 = (int(H * detect_scale) // 8) * 8
@@ -205,7 +206,6 @@ class FullGatePipeline:
             h8, w8 = (H // 8) * 8, (W // 8) * 8
         gray = to_grayscale(jnp.asarray(images), size=(h8, w8))
         sx, sy = W / w8, H / h8
-        hw = (H, W)
         kps = []
         for s in range(0, len(images), detect_batch):
             kp = matcher.sp.detect(gray[s : s + detect_batch])
@@ -213,9 +213,24 @@ class FullGatePipeline:
                 coords=kp.coords * jnp.asarray([sx, sy], jnp.float32)
             )
             kps.append(kp)
-        kp_all = jax.tree_util.tree_map(
+        return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *kps
         )
+
+    def _verify_detect_once(
+        self,
+        matcher,
+        images,  # device or host (N, H, W, 3) uint8
+        survivors: np.ndarray,
+        K: np.ndarray,
+        kp_all=None,
+    ) -> List[MatchResult]:
+        import jax
+
+        if kp_all is None:
+            kp_all = self._detect_all(matcher, images)
+        H, W = int(images.shape[1]), int(images.shape[2])
+        hw = (H, W)
 
         fused_key = (hw, float(np.asarray(K)[0, 0]), "match_only")
         cache = getattr(self, "_fused_cache", None)
