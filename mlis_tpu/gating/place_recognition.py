@@ -188,6 +188,38 @@ class BasePlaceRecognition:
             return np.array([])
         return np.asarray(pairwise_similarity(jnp.asarray(m)))
 
+    # -- persistence (SURVEY §5: descriptor-database checkpointing) -----------
+    def save_database(self, path) -> None:
+        """Persist the descriptor DB (descriptors + timestamps + floors +
+        paths) as one npz — resume retrieval without re-encoding."""
+        from pathlib import Path as _P
+
+        m = self.build_descriptor_matrix()
+        np.savez_compressed(
+            _P(path),
+            descriptors=m if len(m) else np.zeros((0, self.descriptor_dim)),
+            timestamps=self.timestamps(),
+            floors=self.floor_labels(),
+            paths=np.asarray(
+                [d.image_path or "" for d in self.descriptors], dtype=object
+            ),
+        )
+
+    def load_database(self, path) -> int:
+        data = np.load(path, allow_pickle=True)
+        self.descriptors = []
+        self._matrix_cache = None
+        floors = data["floors"]
+        paths = data["paths"]
+        for i, (d, t) in enumerate(zip(data["descriptors"], data["timestamps"])):
+            self.add_descriptor(
+                d,
+                float(t),
+                None if floors[i] <= -(10**9) else int(floors[i]),
+                str(paths[i]) or None,
+            )
+        return len(self.descriptors)
+
 
 class SemanticPlaceRecognition:
     """Floor-gated VPR (reference :806-933 semantics)."""

@@ -214,3 +214,21 @@ def test_euroc_export(tmp_path, rng):
     assert len(csv) == 21
     # gyro before accel in EuRoC column order
     assert csv[1].split(",")[1:4] == ["0.1", "0.0", "0.0"]
+
+
+def test_stage_timer():
+    import time as _time
+
+    from mlis_tpu.utils.profiling import StageTimer
+
+    t = StageTimer(sync=False)
+    with t.stage("a"):
+        _time.sleep(0.01)
+    with t.stage("a"):
+        _time.sleep(0.01)
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert rep["a"]["calls"] == 2
+    assert rep["a"]["total_s"] >= 0.02
+    assert "a" in t.summary() and "b" in t.summary()

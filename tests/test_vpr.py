@@ -145,3 +145,25 @@ def test_find_loop_closures_with_crica_rerank(rng, tiny_crica):
     for m in matches:
         fl = [5, 5, 5, 2, 2, 2]
         assert m.is_valid == (fl[m.query_idx] == fl[m.match_idx])
+
+
+def test_descriptor_database_roundtrip(tmp_path, rng):
+    db = BasePlaceRecognition(descriptor_dim=16)
+    for i in range(10):
+        db.add_descriptor(
+            rng.normal(size=16), float(i * 20),
+            floor_label=5 if i < 5 else None,
+            image_path=f"kf_{i}.png" if i % 2 else None,
+        )
+    db.save_database(tmp_path / "db.npz")
+
+    db2 = BasePlaceRecognition(descriptor_dim=16)
+    n = db2.load_database(tmp_path / "db.npz")
+    assert n == 10
+    np.testing.assert_allclose(
+        db2.build_descriptor_matrix(), db.build_descriptor_matrix(), atol=1e-6
+    )
+    assert db2.descriptors[0].floor_label == 5
+    assert db2.descriptors[9].floor_label is None
+    assert db2.descriptors[1].image_path == "kf_1.png"
+    assert db2.descriptors[0].image_path is None
