@@ -174,6 +174,38 @@ def _cmd_fullgate(args) -> int:
     return 0
 
 
+def _cmd_all(args) -> int:
+    """run_all.sh equivalent: gating analysis + comparison + evaluation +
+    figures in one shot (SLAM runners are upstream trajectory producers)."""
+    from mlis_tpu.eval.comprehensive import run_full_evaluation
+    from mlis_tpu.gating.integration import run_comparison
+
+    out = Path(args.output)
+    print("[1/3] semantic gating analysis + comparison")
+    results = run_comparison(
+        args.trajectory_root, str(out / "semantic_gating")
+    )
+    for algo, r in results.items():
+        print(
+            f"  {algo}: {r.total_candidates:,} candidates, "
+            f"{r.cross_floor_rate:.1%} cross-floor rejected"
+        )
+    print("[2/3] trajectory evaluation vs LeGO-LOAM")
+    run_full_evaluation(
+        args.trajectory_root,
+        output_path=str(out / "metrics" / "final_evaluation.json"),
+    )
+    print("[3/3] figures")
+    from mlis_tpu.viz.paper_figures import generate_figure6, generate_figure7
+
+    figs = out / "figures"
+    figs.mkdir(parents=True, exist_ok=True)
+    generate_figure6(args.trajectory_root, figs / "figure6.png")
+    generate_figure7(args.trajectory_root, figs / "figure7.png")
+    print(f"done; results under {out}")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import runpy
 
@@ -229,6 +261,10 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="one-line JSON benchmark")
 
+    p = sub.add_parser("all", help="gate + evaluate + figures (run_all equivalent)")
+    p.add_argument("--trajectory-root", default="/root/reference/results/trajectories")
+    p.add_argument("--output", default="./results")
+
     args, extra = parser.parse_known_args(argv)
     if args.cmd == "gate":
         return _cmd_gate(args)
@@ -244,6 +280,8 @@ def main(argv=None) -> int:
         return _cmd_fullgate(args)
     if args.cmd == "bench":
         return _cmd_bench(args)
+    if args.cmd == "all":
+        return _cmd_all(args)
     parser.print_help()
     return 1
 
