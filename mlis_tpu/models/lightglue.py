@@ -70,16 +70,44 @@ class Matches(NamedTuple):
     valid: jnp.ndarray  # (B, K0) bool mutual+threshold+mask
 
 
-def _posenc(coords: jnp.ndarray, image_hw, dim: int) -> jnp.ndarray:
-    """Fourier positional encoding of normalized keypoint coords."""
+def normalize_keypoints(coords: jnp.ndarray, image_hw) -> jnp.ndarray:
+    """Center + scale by half the larger image side (official LightGlue
+    keypoint normalization)."""
     h, w = image_hw
     size = jnp.asarray([w, h], jnp.float32)
-    xy = (coords / size) * 2 - 1  # [-1, 1]
-    n_freq = dim // 4
-    freqs = 2.0 ** jnp.arange(n_freq, dtype=jnp.float32)  # (F,)
-    ang = xy[..., None] * freqs  # (B, K, 2, F)
-    enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-    return enc.reshape(*coords.shape[:-1], 4 * n_freq)
+    shift = size / 2.0
+    scale = jnp.max(size) / 2.0
+    return (coords - shift) / scale
+
+
+class RotaryEncoding(nn.Module):
+    """Learnable-Fourier rotary positional encoding (official LightGlue):
+    a bias-free (2 -> Dh/2) projection of normalized keypoint coords gives
+    per-keypoint rotation angles, applied to q/k in SELF attention only."""
+
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, coords_norm: jnp.ndarray):
+        Wr = self.param(
+            "Wr",
+            nn.initializers.normal(1.0),
+            (2, self.head_dim // 2),
+        )
+        ang = coords_norm.astype(jnp.float32) @ Wr  # (B, K, Dh/2)
+        return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """Rotate interleaved feature pairs: x (B, K, H, Dh), cos/sin (B, K, Dh/2)."""
+    B, K, H, Dh = x.shape
+    x2 = x.reshape(B, K, H, Dh // 2, 2)
+    a, b = x2[..., 0], x2[..., 1]
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    ra = a * c - b * s
+    rb = a * s + b * c
+    return jnp.stack([ra, rb], axis=-1).reshape(B, K, H, Dh)
 
 
 class AttnLayer(nn.Module):
@@ -88,13 +116,15 @@ class AttnLayer(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, source, source_valid):
-        """Residual MHA(x <- source) + MLP.
+    def __call__(self, x, source, source_valid, rot_x=None, rot_src=None):
+        """Residual MHA(x <- source) + gated MLP (LightGlue layer shape:
+        x + ffn(concat(x, message)) with LayerNorm inside the ffn).
 
         source_valid: (B, Ks) prefix-valid keypoint mask (top-k keypoints
         are score-sorted, so padding is always a suffix) — lets attention
         run through the KV-tiled flash kernel with lengths instead of a
-        materialized (Kx, Ks) bias.
+        materialized (Kx, Ks) bias. rot_*: optional rotary (cos, sin) for
+        self-attention positional encoding.
         """
         from mlis_tpu.ops.flash_attention import flash_mha
 
@@ -106,6 +136,10 @@ class AttnLayer(nn.Module):
         q = q.reshape(B, Kx, self.num_heads, Dh)
         k = k.reshape(B, source.shape[1], self.num_heads, Dh)
         v = v.reshape(B, source.shape[1], self.num_heads, Dh)
+        if rot_x is not None:
+            q = apply_rotary(q, *rot_x)
+        if rot_src is not None:
+            k = apply_rotary(k, *rot_src)
         if jax.devices()[0].platform == "tpu":
             msg = flash_mha(q, k, v, kv_valid=source_valid)
         else:
@@ -116,6 +150,7 @@ class AttnLayer(nn.Module):
         msg = nn.Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         h = jnp.concatenate([x, msg], axis=-1)
         h = nn.Dense(2 * self.dim, dtype=self.dtype, name="ffn1")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ffn_norm")(h).astype(self.dtype)
         h = nn.gelu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ffn2")(h)
         return x + h
@@ -131,14 +166,14 @@ class MatcherBlock(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        x0, x1, m0, m1 = carry
+        x0, x1, m0, m1, rot0, rot1 = carry
         self_layer = AttnLayer(self.dim, self.num_heads, self.dtype, name="self")
         cross_layer = AttnLayer(self.dim, self.num_heads, self.dtype, name="cross")
-        x0 = self_layer(x0, x0, m0)
-        x1 = self_layer(x1, x1, m1)
+        x0 = self_layer(x0, x0, m0, rot_x=rot0, rot_src=rot0)
+        x1 = self_layer(x1, x1, m1, rot_x=rot1, rot_src=rot1)
         x0n = cross_layer(x0, x1, m1)
         x1 = cross_layer(x1, x0, m0)
-        return (x0n, x1, m0, m1), None
+        return (x0n, x1, m0, m1, rot0, rot1), None
 
 
 class MatcherNet(nn.Module):
@@ -151,13 +186,15 @@ class MatcherNet(nn.Module):
         # weights are SHARED between the two images (LightGlue design):
         # instantiate each submodule once, call it on both streams
         in_proj = nn.Dense(cfg.dim, dtype=cfg.dtype, name="in_proj")
-        pos_proj = nn.Dense(cfg.dim, dtype=cfg.dtype, name="pos_proj")
-        x0 = in_proj(d0.astype(cfg.dtype)) + pos_proj(
-            _posenc(c0, image_hw, cfg.dim).astype(cfg.dtype)
-        )
-        x1 = in_proj(d1.astype(cfg.dtype)) + pos_proj(
-            _posenc(c1, image_hw, cfg.dim).astype(cfg.dtype)
-        )
+        x0 = in_proj(d0.astype(cfg.dtype))
+        x1 = in_proj(d1.astype(cfg.dtype))
+
+        # rotary positional encoding from normalized keypoint coords,
+        # shared across depth, applied inside self-attention only
+        # (official LightGlue design — cross attention is position-free)
+        rotary = RotaryEncoding(cfg.dim // cfg.num_heads, name="posenc")
+        rot0 = rotary(normalize_keypoints(c0, image_hw))
+        rot1 = rotary(normalize_keypoints(c1, image_hw))
 
         # scan over depth: one traced body instead of `depth` unrolled
         # copies — keeps XLA compile time flat in depth
@@ -167,7 +204,7 @@ class MatcherNet(nn.Module):
             split_rngs={"params": True},
             length=cfg.depth,
         )(cfg.dim, cfg.num_heads, cfg.dtype, name="blocks")
-        (x0, x1, _, _), _ = blocks((x0, x1, m0, m1), None)
+        (x0, x1, _, _, _, _), _ = blocks((x0, x1, m0, m1, rot0, rot1), None)
 
         # bf16 operands, f32 accumulation for the (K0, K1) similarity GEMM
         final_proj = nn.Dense(cfg.dim, dtype=cfg.dtype, name="final_proj")

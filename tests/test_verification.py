@@ -172,3 +172,47 @@ def test_verifier_batch_device_path(rng):
 def test_unknown_matcher_raises():
     with pytest.raises(ValueError, match="Unknown matcher"):
         GeometricVerifier(matcher_type="sift")
+
+
+def test_rotary_encoding_properties(rng):
+    """Rotary rotation preserves norms and relative angles."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlis_tpu.models.lightglue import (
+        RotaryEncoding,
+        apply_rotary,
+        normalize_keypoints,
+    )
+
+    coords = jnp.asarray(rng.uniform(0, 100, (1, 10, 2)), jnp.float32)
+    rot = RotaryEncoding(head_dim=8)
+    params = rot.init(jax.random.PRNGKey(0), normalize_keypoints(coords, (100, 100)))
+    cos, sin = rot.apply(params, normalize_keypoints(coords, (100, 100)))
+    assert cos.shape == (1, 10, 4)
+    np.testing.assert_allclose(np.asarray(cos**2 + sin**2), 1.0, atol=1e-6)
+
+    x = jnp.asarray(rng.normal(size=(1, 10, 2, 8)), jnp.float32)
+    xr = apply_rotary(x, cos, sin)
+    # rotation is norm-preserving per pair
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(xr), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        rtol=1e-5,
+    )
+    # dot products between two tokens with the SAME position are invariant
+    y = jnp.asarray(rng.normal(size=(1, 10, 2, 8)), jnp.float32)
+    yr = apply_rotary(y, cos, sin)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(xr * yr, -1)), np.asarray(jnp.sum(x * y, -1)), atol=1e-4
+    )
+
+
+def test_normalize_keypoints_centering():
+    from mlis_tpu.models.lightglue import normalize_keypoints
+    import jax.numpy as jnp
+
+    c = jnp.asarray([[[0.0, 0.0], [720.0, 540.0], [360.0, 270.0]]])
+    out = np.asarray(normalize_keypoints(c, (540, 720)))
+    np.testing.assert_allclose(out[0, 2], [0, 0], atol=1e-6)  # center -> 0
+    np.testing.assert_allclose(out[0, 1], [1.0, 0.75], atol=1e-6)
