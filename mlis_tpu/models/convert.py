@@ -164,6 +164,88 @@ def convert_superpoint_torch(
     return _match_dtypes(out, template)
 
 
+def convert_lightglue_torch(
+    state_dict: Mapping[str, Any], template: Dict[str, Any]
+) -> Dict[str, Any]:
+    """cvg/LightGlue (superpoint variant) state_dict -> models/lightglue
+    MatcherNet params.
+
+    Mapping notes:
+      * transformers.{i}.self_attn.Wqkv splits into our q/k/v thirds;
+      * the official CrossBlock shares one to_qk projection for both query
+        and key — our separate q/k Dense layers both receive it;
+      * per-depth tensors stack along axis 0 (our nn.scan layout);
+      * the LAST layer's log_assignment head maps to our final_proj /
+        matchability (we run fixed depth; earlier exit heads are unused).
+    """
+    sd = state_dict
+    depth = int(template["blocks"]["self"]["q"]["kernel"].shape[0])
+
+    def lin(name):
+        return {"kernel": _linear(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+    def stack(entries):
+        out = {}
+        for key in entries[0]:
+            if isinstance(entries[0][key], dict):
+                out[key] = stack([e[key] for e in entries])
+            else:
+                out[key] = np.stack(
+                    [np.asarray(e[key]) for e in entries], axis=0
+                )
+        return out
+
+    self_layers, cross_layers = [], []
+    for i in range(depth):
+        tp = f"transformers.{i}"
+        Wqkv = _linear(sd[f"{tp}.self_attn.Wqkv.weight"])  # (d, 3d)
+        bqkv = _np(sd[f"{tp}.self_attn.Wqkv.bias"])
+        d = Wqkv.shape[0]
+        q_k = Wqkv[:, :d]
+        k_k = Wqkv[:, d : 2 * d]
+        v_k = Wqkv[:, 2 * d :]
+
+        def ffn(prefix):
+            return {
+                "ffn1": lin(f"{prefix}.ffn.0"),
+                "ffn_norm": {
+                    "scale": _np(sd[f"{prefix}.ffn.1.weight"]),
+                    "bias": _np(sd[f"{prefix}.ffn.1.bias"]),
+                },
+                "ffn2": lin(f"{prefix}.ffn.3"),
+            }
+
+        self_layers.append(
+            {
+                "q": {"kernel": q_k, "bias": bqkv[:d]},
+                "k": {"kernel": k_k, "bias": bqkv[d : 2 * d]},
+                "v": {"kernel": v_k, "bias": bqkv[2 * d :]},
+                "proj": lin(f"{tp}.self_attn.out_proj"),
+                **ffn(f"{tp}.self_attn"),
+            }
+        )
+        qk = lin(f"{tp}.cross_attn.to_qk")
+        cross_layers.append(
+            {
+                "q": qk,
+                "k": {k: v.copy() for k, v in qk.items()},
+                "v": lin(f"{tp}.cross_attn.to_v"),
+                "proj": lin(f"{tp}.cross_attn.to_out"),
+                **ffn(f"{tp}.cross_attn"),
+            }
+        )
+
+    last = depth - 1
+    out: Dict[str, Any] = {
+        "in_proj": lin("input_proj"),
+        "posenc": {"Wr": _linear(sd["posenc.Wr.weight"])},
+        "blocks": {"self": stack(self_layers), "cross": stack(cross_layers)},
+        "final_proj": lin(f"log_assignment.{last}.final_proj"),
+        "matchability": lin(f"log_assignment.{last}.matchability"),
+    }
+    return _match_dtypes(out, template)
+
+
 def _match_dtypes(new: Any, template: Any) -> Any:
     """Cast converted arrays to the template's dtypes and assert shapes."""
     if isinstance(template, Mapping):

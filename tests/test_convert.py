@@ -146,3 +146,70 @@ def test_superpoint_converter(rng):
 
     kp = sp.detect(jnp.ones((1, 64, 64, 1)) * 0.5)
     assert np.isfinite(np.asarray(kp.scores)).all()
+
+
+def test_lightglue_converter(rng):
+    from mlis_tpu.models.convert import convert_lightglue_torch
+    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+    from mlis_tpu.models.superpoint import SuperPointConfig
+
+    cfg = MatcherConfig.tiny_test()  # d=32, depth=2
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=16),
+        matcher_cfg=cfg,
+    )
+    lg._init(16, 16, (64, 64))
+    template = lg.params["params"]
+    d = cfg.dim
+
+    sd = {
+        "input_proj.weight": rng.normal(size=(d, cfg.descriptor_dim)).astype(np.float32),
+        "input_proj.bias": rng.normal(size=d).astype(np.float32),
+        "posenc.Wr.weight": rng.normal(size=(d // cfg.num_heads // 2, 2)).astype(np.float32),
+    }
+    for i in range(cfg.depth):
+        tp = f"transformers.{i}"
+        sd[f"{tp}.self_attn.Wqkv.weight"] = rng.normal(size=(3 * d, d)).astype(np.float32)
+        sd[f"{tp}.self_attn.Wqkv.bias"] = rng.normal(size=3 * d).astype(np.float32)
+        sd[f"{tp}.self_attn.out_proj.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+        sd[f"{tp}.self_attn.out_proj.bias"] = rng.normal(size=d).astype(np.float32)
+        for blk in ("self_attn", "cross_attn"):
+            sd[f"{tp}.{blk}.ffn.0.weight"] = rng.normal(size=(2 * d, 2 * d)).astype(np.float32)
+            sd[f"{tp}.{blk}.ffn.0.bias"] = rng.normal(size=2 * d).astype(np.float32)
+            sd[f"{tp}.{blk}.ffn.1.weight"] = rng.normal(size=2 * d).astype(np.float32)
+            sd[f"{tp}.{blk}.ffn.1.bias"] = rng.normal(size=2 * d).astype(np.float32)
+            sd[f"{tp}.{blk}.ffn.3.weight"] = rng.normal(size=(d, 2 * d)).astype(np.float32)
+            sd[f"{tp}.{blk}.ffn.3.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.cross_attn.to_qk.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+        sd[f"{tp}.cross_attn.to_qk.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.cross_attn.to_v.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+        sd[f"{tp}.cross_attn.to_v.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"{tp}.cross_attn.to_out.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+        sd[f"{tp}.cross_attn.to_out.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"log_assignment.{i}.final_proj.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+        sd[f"log_assignment.{i}.final_proj.bias"] = rng.normal(size=d).astype(np.float32)
+        sd[f"log_assignment.{i}.matchability.weight"] = rng.normal(size=(1, d)).astype(np.float32)
+        sd[f"log_assignment.{i}.matchability.bias"] = rng.normal(size=1).astype(np.float32)
+
+    new = convert_lightglue_torch(sd, template)
+    # per-depth stacking and qkv split layout
+    assert new["blocks"]["self"]["q"]["kernel"].shape == (cfg.depth, d, d)
+    np.testing.assert_allclose(
+        new["blocks"]["self"]["q"]["kernel"][0],
+        sd["transformers.0.self_attn.Wqkv.weight"].T[:, :d],
+        atol=1e-6,
+    )
+    # cross attention shares to_qk between our q and k
+    np.testing.assert_allclose(
+        new["blocks"]["cross"]["q"]["kernel"], new["blocks"]["cross"]["k"]["kernel"]
+    )
+    # loaded params run end-to-end
+    lg.params = {"params": new}
+    lg._jit_match = {}
+    import jax.numpy as jnp
+    from mlis_tpu.ops.image import to_grayscale
+
+    img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    g = to_grayscale(jnp.asarray(img)[None])
+    kp0, kp1, matches = lg.match_batch(g, g)
+    assert np.isfinite(np.asarray(matches.scores)).all()
