@@ -68,6 +68,29 @@ class FullGateResult:
 class FullGatePipeline:
     """End-to-end keyframe gating with stage timing."""
 
+    @classmethod
+    def from_config(cls, cfg) -> "FullGatePipeline":
+        """Build from a PipelineConfig (config.py) — the single-config
+        replacement for the reference's three configuration mechanisms."""
+        from mlis_tpu.gating.verification import GeometricVerifier
+        from mlis_tpu.models.superpoint import SuperPointConfig
+
+        verifier = GeometricVerifier(
+            matcher_type=cfg.verification.matcher,
+            min_inliers=cfg.verification.min_inliers,
+            min_inlier_ratio=cfg.verification.min_inlier_ratio,
+            ransac_threshold=cfg.verification.ransac_threshold_px,
+            sp_cfg=SuperPointConfig(max_keypoints=cfg.verification.max_keypoints),
+        )
+        return cls(
+            vpr_method=cfg.vpr.method,
+            verifier=verifier,
+            top_k=cfg.vpr.top_k,
+            similarity_threshold=cfg.vpr.similarity_threshold,
+            min_time_gap=cfg.vpr.min_time_gap_s,
+            strict_floor=cfg.gating.gate.strict_mode,
+        )
+
     def __init__(
         self,
         vpr: Optional[SemanticPlaceRecognition] = None,

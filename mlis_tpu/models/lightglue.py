@@ -445,6 +445,29 @@ class LightGlue(BaseFeatureMatcher):
 
         return jax.jit(run)
 
+    # -- weight IO ---------------------------------------------------------------
+    def load_torch_state_dict(
+        self, matcher_sd=None, superpoint_sd=None, image_hw=(540, 720)
+    ) -> None:
+        """Load official checkpoints: cvg/LightGlue matcher and/or magicleap
+        SuperPoint state dicts (torch tensors or numpy arrays)."""
+        from mlis_tpu.models.convert import (
+            convert_lightglue_torch,
+            convert_superpoint_torch,
+        )
+
+        if superpoint_sd is not None:
+            params = self.sp.init_params(image_hw)
+            self.sp.params = {
+                "params": convert_superpoint_torch(superpoint_sd, params["params"])
+            }
+        if matcher_sd is not None:
+            self._init(self.sp.cfg.max_keypoints, self.sp.cfg.max_keypoints, image_hw)
+            self.params = {
+                "params": convert_lightglue_torch(matcher_sd, self.params["params"])
+            }
+            self._jit_match = {}
+
     # -- reference-parity single-pair API --------------------------------------
     def detect_and_match(
         self, image1: np.ndarray, image2: np.ndarray

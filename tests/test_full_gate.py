@@ -102,3 +102,18 @@ def test_full_gate_empty_when_threshold_high(rng):
     res = pipe.process(images, np.arange(8) * 30.0, np.ones(8, int), K_CAM)
     assert res.total_pairs == 0
     assert res.pairs_per_sec == 0.0
+
+
+def test_full_gate_from_config():
+    from mlis_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg.vpr.method = "mixvpr"
+    cfg.vpr.top_k = 7
+    cfg.verification.max_keypoints = 128
+    cfg.gating.gate.strict_mode = False
+    pipe = FullGatePipeline.from_config(cfg)
+    assert pipe.top_k == 7
+    assert pipe.strict_floor is False
+    assert pipe.verifier.matcher.sp.cfg.max_keypoints == 128
+    assert type(pipe.spr.vpr).__name__ == "MixVPR"
