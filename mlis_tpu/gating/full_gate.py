@@ -278,6 +278,8 @@ class FullGatePipeline:
             pending.append(
                 (chunk, fused(matcher.params, kp_all, qi, mi, jax.random.PRNGKey(s)))
             )
+        from mlis_tpu.gating.verification import _invalid_result
+
         for chunk, out in pending:
             n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts = jax.tree_util.tree_map(
                 np.asarray, out
@@ -285,8 +287,6 @@ class FullGatePipeline:
             for p in range(len(chunk)):
                 q, m = int(chunk[p, 0]), int(chunk[p, 1])
                 if n_match[p] < 5:
-                    from mlis_tpu.gating.verification import _invalid_result
-
                     results.append(_invalid_result(q, m))
                     continue
                 results.append(

@@ -278,10 +278,10 @@ class GeometricVerifier:
             kp0, kp1, matches = self.matcher.match_batch(
                 jnp.asarray(images0), jnp.asarray(images1)
             )
-            P, Kk = matches.idx0.shape
+            P = matches.idx0.shape[0]
             idx = jnp.clip(matches.idx0, 0, kp1.coords.shape[1] - 1)
             mk1 = jnp.take_along_axis(kp1.coords, idx[..., None], axis=1)
-            res, T, good = essential_ransac_batch(
+            res, T, _good = essential_ransac_batch(
                 kp0.coords,
                 mk1,
                 matches.valid,
