@@ -165,7 +165,15 @@ class FullGatePipeline:
         idx = np.asarray(idx)
         res.retrieval_s = time.perf_counter() - t0
 
-        # candidate pairs above threshold, deduplicated (i < j)
+        # Candidate pairs above threshold, deduplicated to i < j. NOTE: this
+        # deliberately diverges from the reference's VPR path, which counts
+        # DIRECTED matches (query->match and match->query counted twice,
+        # place_recognition.py:851-911): verifying (i, j) and (j, i)
+        # separately costs 2x matcher/RANSAC work for the same geometric
+        # decision. Rejection-rate PARITY against the reference's directed
+        # counts is checked on the directed retrieval output instead
+        # (SemanticPlaceRecognition.find_loop_closures keeps directed
+        # semantics); this pipeline's own stats are over unique pairs.
         qi, kk = np.nonzero(np.isfinite(scores) & (scores >= self.similarity_threshold))
         mj = idx[qi, kk]
         lo = np.minimum(qi, mj)

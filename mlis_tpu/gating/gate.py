@@ -137,7 +137,11 @@ class SemanticLoopClosureGate:
             if ok:
                 valid.append(c)
             else:
-                c.rejection_reason = f"Cross-floor: {qf} vs {mf}"
+                c.rejection_reason = (
+                    f"Cross-floor: {qf} vs {mf}"
+                    if self.strict_mode
+                    else f"Floor diff > 1: {qf} vs {mf}"
+                )
                 rejected.append(c)
         return valid, rejected
 

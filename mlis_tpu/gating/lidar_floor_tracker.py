@@ -262,6 +262,7 @@ class LiDARFloorTracker:
         floors = np.asarray(floors)
         conf = np.asarray(conf)
         n_ground = np.asarray(n_ground)
+        ok = np.asarray(scan_ok)
         estimates = []
         for i in range(S):
             est = FloorEstimate(
@@ -272,7 +273,12 @@ class LiDARFloorTracker:
                 num_ground_points=int(n_ground[i]),
             )
             estimates.append(est)
-            self.floor_history.append(est)
+            # Low-confidence scans are returned but NOT recorded, matching
+            # the per-scan API and the reference's early-return paths
+            # (lidar_floor_tracker.py:186-207): get_floor_labels /
+            # detect_floor_transitions only see plane-fit-backed scans.
+            if ok[i]:
+                self.floor_history.append(est)
         if estimates:
             self.current_floor = estimates[-1].floor_number
         return estimates

@@ -270,30 +270,37 @@ class SemanticPlaceRecognition:
         ts = self.vpr.timestamps()
         use_rerank = (
             rerank
-            and hasattr(self.vpr, "rerank_candidates")
+            and hasattr(self.vpr, "rerank_scores_all")
             and getattr(self.vpr, "use_reranking", False)
         )
 
+        if use_rerank:
+            # ALL queries' patch-correlation reranks in one device program
+            # (the per-query path is 1 dispatch/query — prohibitive through
+            # the tunnel at SURVEY's 19k-keyframe scale)
+            cc = self.vpr.rerank_scores_all(
+                np.arange(n, dtype=np.int32), np.clip(idx, 0, n - 1)
+            )
+            w = self.vpr.rerank_weight
+            finite = np.isfinite(scores)
+            mixed = np.where(finite, (1 - w) * scores + w * cc, -np.inf)
+            # re-sort candidates per query by mixed score (reference :714-757)
+            order = np.argsort(-mixed, axis=1, kind="stable")
+            scores = np.take_along_axis(mixed, order, axis=1)
+            idx = np.take_along_axis(idx, order, axis=1)
+
         matches: List[PlaceMatch] = []
         for i in range(n):
-            cand: List[PlaceMatch] = []
             for s, j in zip(scores[i], idx[i]):
-                if not np.isfinite(s):
+                if not np.isfinite(s) or s < self.similarity_threshold:
                     continue
-                cand.append(
-                    PlaceMatch(
-                        query_idx=i,
-                        match_idx=int(j),
-                        similarity=float(s),
-                        query_timestamp=float(ts[i]),
-                        match_timestamp=float(ts[int(j)]),
-                    )
+                m = PlaceMatch(
+                    query_idx=i,
+                    match_idx=int(j),
+                    similarity=float(s),
+                    query_timestamp=float(ts[i]),
+                    match_timestamp=float(ts[int(j)]),
                 )
-            if use_rerank and cand:
-                cand = self.vpr.rerank_candidates(i, cand)
-            for m in cand:
-                if m.similarity < self.similarity_threshold:
-                    continue
                 qf, mf = floors[m.query_idx], floors[m.match_idx]
                 if enable_floor_gating and qf > -(10**9) and mf > -(10**9):
                     m.is_valid = bool(qf == mf)

@@ -202,9 +202,20 @@ class GeometricVerifier:
         query_idx: int = 0,
         match_idx: int = 0,
     ) -> MatchResult:
+        """Single-pair verification.
+
+        Field semantics: `num_keypoints_*` are DETECTOR totals and
+        `num_matches` is the matched-pair count — consistent with
+        `verify_pairs_batch`. (The reference collapses all three to the
+        matched count at geometric_verification.py:625-627; we keep the
+        dataclass's declared meaning instead.)
+        """
         kpts1, kpts2, conf = self.matcher.detect_and_match(image1, image2)
         if len(kpts1) < 5:
             return _invalid_result(query_idx, match_idx)
+        n_kp1, n_kp2 = getattr(
+            self.matcher, "last_detector_counts", (len(kpts1), len(kpts2))
+        )
 
         mask, E, ratio = self.matcher.verify_geometric_consistency(
             kpts1, kpts2, K, self.ransac_threshold
@@ -218,8 +229,8 @@ class GeometricVerifier:
         return self._result_from_counts(
             query_idx,
             match_idx,
-            len(kpts1),
-            len(kpts2),
+            n_kp1,
+            n_kp2,
             len(kpts1),
             num_inliers,
             float(ratio),

@@ -22,7 +22,11 @@ from mlis_tpu.gating.place_recognition import PlaceMatch
 from mlis_tpu.models.base import JaxEncoderVPR, fit_descriptor_dim
 from mlis_tpu.models.vit import ViT, ViTConfig
 from mlis_tpu.ops.image import preprocess_imagenet
-from mlis_tpu.ops.pooling import cross_correlation_scores_batch, gem_pool
+from mlis_tpu.ops.pooling import (
+    cross_correlation_scores_batch,
+    cross_correlation_scores_pairs,
+    gem_pool,
+)
 
 
 class CricaVPR(JaxEncoderVPR):
@@ -49,6 +53,7 @@ class CricaVPR(JaxEncoderVPR):
         self.params = self.module.init(jax.random.PRNGKey(seed), dummy)
         self.patch_cache: List[np.ndarray] = []  # (N_patches, D) per image
         self._jit_full = None
+        self._patch_matrix = None
 
     # descriptor = GeM(patch tokens); patch tokens cached for reranking
     def _forward_full(self, params, images):
@@ -71,9 +76,40 @@ class CricaVPR(JaxEncoderVPR):
         # correlation consumes them on-device anyway
         for i in range(patches.shape[0]):
             self.patch_cache.append(patches[i])
+        self._patch_matrix = None
         return np.asarray(desc, dtype=np.float32)
 
+    def patch_matrix(self) -> jnp.ndarray:
+        """Device-resident (N, P, D) stack of all cached patch features."""
+        if self._patch_matrix is None or self._patch_matrix.shape[0] != len(
+            self.patch_cache
+        ):
+            self._patch_matrix = jnp.stack(
+                [jnp.asarray(p) for p in self.patch_cache]
+            )
+        return self._patch_matrix
+
     # -- reranking (reference :714-757) ----------------------------------------
+    def rerank_scores_all(
+        self, query_idx: np.ndarray, cand_idx: np.ndarray, batch_size: int = 32
+    ) -> np.ndarray:
+        """Cross-correlation scores for EVERY (query, candidate) retrieval
+        cell in one device dispatch: (Q,), (Q, K) -> (Q, K).
+
+        This is the across-queries batching of `rerank_candidates` — at
+        19k-keyframe scale the per-query path costs one ~1 s tunnel
+        round-trip per query; this path costs a handful total.
+        """
+        ps = self.patch_matrix()
+        return np.asarray(
+            cross_correlation_scores_pairs(
+                ps,
+                jnp.asarray(query_idx, jnp.int32),
+                jnp.asarray(cand_idx, jnp.int32),
+                batch_size=batch_size,
+            )
+        )
+
     def rerank_candidates(
         self, query_idx: int, matches: List[PlaceMatch], top_k: Optional[int] = None
     ) -> List[PlaceMatch]:

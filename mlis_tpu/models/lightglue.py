@@ -481,6 +481,12 @@ class LightGlue(BaseFeatureMatcher):
         pts0 = np.asarray(kp0.coords[0])[valid]
         pts1 = np.asarray(kp1.coords[0])[idx]
         conf = np.asarray(matches.scores[0])[valid]
+        # detector keypoint totals (NOT matched-pair counts) for MatchResult
+        # field fidelity — the batched path reports the same quantities
+        self.last_detector_counts = (
+            int(np.asarray(kp0.mask[0]).sum()),
+            int(np.asarray(kp1.mask[0]).sum()),
+        )
         return pts0, pts1, conf
 
 

@@ -247,4 +247,6 @@ class LoFTR(BaseFeatureMatcher):
         sx, sy = w / w8, h / h8
         k0 = np.asarray(m.kpts0[0])[valid] * [sx, sy]
         k1 = np.asarray(m.kpts1[0])[valid] * [sx, sy]
+        # detector-free method: "detected" keypoints == matched points
+        self.last_detector_counts = (len(k0), len(k1))
         return k0, k1, np.asarray(m.scores[0])[valid]

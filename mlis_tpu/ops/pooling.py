@@ -80,3 +80,33 @@ def cross_correlation_scores_batch(
     return jax.vmap(lambda b: cross_correlation_score(query_patches, b))(
         candidate_patches
     )
+
+
+@functools.partial(jax.jit, static_argnames=("batch_size",))
+def cross_correlation_scores_pairs(
+    patch_stack: jnp.ndarray,  # (N, P, D) patch features for ALL images
+    query_idx: jnp.ndarray,  # (Q,) query image indices
+    cand_idx: jnp.ndarray,  # (Q, K) candidate image indices per query
+    batch_size: int = 32,
+) -> jnp.ndarray:
+    """All queries' reranks in ONE device program: (Q, K) scores.
+
+    Replaces a per-query dispatch loop (19k dispatches at SURVEY scale)
+    with a single jitted `lax.map` over query rows; each step gathers its
+    (K, P, D) candidate block in-program and runs the (K, P, P)
+    correlation on the MXU. Memory stays O(batch_size * K * P * P) —
+    the full (Q, K, P, D) gather is never materialized.
+    """
+    ps = patch_stack.astype(jnp.float32)
+    ps = ps / (jnp.linalg.norm(ps, axis=-1, keepdims=True) + 1e-8)
+
+    def one(args):
+        qi, ci = args
+        q = ps[qi]  # (P, D)
+        c = ps[ci]  # (K, P, D)
+        corr = jnp.einsum("pd,kqd->kpq", q, c)
+        ab = jnp.clip(jnp.mean(jnp.max(corr, axis=2), axis=1), 0.0, None)
+        ba = jnp.clip(jnp.mean(jnp.max(corr, axis=1), axis=1), 0.0, None)
+        return jnp.sqrt(ab * ba)
+
+    return jax.lax.map(one, (query_idx, cand_idx), batch_size=batch_size)

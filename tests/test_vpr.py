@@ -147,6 +147,72 @@ def test_find_loop_closures_with_crica_rerank(rng, tiny_crica):
         assert m.is_valid == (fl[m.query_idx] == fl[m.match_idx])
 
 
+def test_rerank_scores_all_matches_per_query_path(rng):
+    """The one-dispatch across-queries rerank must score identically to the
+    per-query rerank_candidates path (same math, different batching)."""
+    from mlis_tpu.gating.place_recognition import PlaceMatch
+
+    enc = CricaVPR(descriptor_dim=64, vit_cfg=TINY_VIT, input_size=(56, 56))
+    imgs = _images(rng, 8, 56, 56)
+    enc.encode_batch(imgs)
+
+    q_idx = np.arange(8, dtype=np.int32)
+    c_idx = np.stack([(np.arange(3) + i + 1) % 8 for i in range(8)]).astype(
+        np.int32
+    )
+    cc_all = enc.rerank_scores_all(q_idx, c_idx, batch_size=4)
+    assert cc_all.shape == (8, 3)
+
+    w = enc.rerank_weight
+    for i in range(8):
+        matches = [
+            PlaceMatch(query_idx=i, match_idx=int(j), similarity=0.0)
+            for j in c_idx[i]
+        ]
+        rr = enc.rerank_candidates(i, matches)
+        per_query = {m.match_idx: m.similarity for m in rr}
+        for kk, j in enumerate(c_idx[i]):
+            np.testing.assert_allclose(
+                per_query[int(j)], w * cc_all[i, kk], rtol=1e-5, atol=1e-6
+            )
+
+
+def test_find_loop_closures_batched_rerank_equals_serial(rng):
+    """find_loop_closures with the batched rerank must produce the same
+    (query, match, similarity) set as manually reranking each query."""
+    enc = CricaVPR(descriptor_dim=64, vit_cfg=TINY_VIT, input_size=(56, 56))
+    spr = SemanticPlaceRecognition(
+        vpr_method=enc, similarity_threshold=0.0, min_time_gap=10.0
+    )
+    imgs = _images(rng, 6, 56, 56)
+    spr.add_images_batch(imgs, np.arange(6) * 30.0, [5, 5, 5, 2, 2, 2])
+
+    got = spr.find_loop_closures(enable_floor_gating=True, k=3, rerank=True)
+
+    # serial reference: raw retrieval + per-query rerank_candidates
+    from mlis_tpu.gating.place_recognition import PlaceMatch
+    import jax.numpy as jnp
+    from mlis_tpu.ops.knn import cosine_topk
+
+    db = jnp.asarray(enc.build_descriptor_matrix())
+    times = jnp.asarray(enc.timestamps())
+    scores, idx = cosine_topk(db, db, times, times, k=3, min_time_gap=10.0)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    want = {}
+    for i in range(6):
+        cand = [
+            PlaceMatch(query_idx=i, match_idx=int(j), similarity=float(s))
+            for s, j in zip(scores[i], idx[i])
+            if np.isfinite(s)
+        ]
+        for m in enc.rerank_candidates(i, cand):
+            want[(m.query_idx, m.match_idx)] = m.similarity
+    got_map = {(m.query_idx, m.match_idx): m.similarity for m in got}
+    assert set(got_map) == set(want)
+    for key in want:
+        np.testing.assert_allclose(got_map[key], want[key], rtol=1e-5, atol=1e-6)
+
+
 def test_descriptor_database_roundtrip(tmp_path, rng):
     db = BasePlaceRecognition(descriptor_dim=16)
     for i in range(10):
