@@ -2,7 +2,7 @@
 
 Replaces the reference's rosbag/rosbags dependency (scripts/utils/
 bag_utils.py, test_lidar_floor_tracker.py:32-39) with a self-contained
-parser: bag records -> chunks (none/bz2 compression) -> connection +
+parser: bag records -> chunks (none/bz2/lz4 compression) -> connection +
 message records, plus decoders for the message types the NUFR-M3F pipeline
 touches (sensor_msgs/Imu, sensor_msgs/PointCloud2, sensor_msgs/Image,
 nav_msgs/Odometry) and batch extraction paths that hand blob offsets to the
@@ -123,6 +123,11 @@ class BagReader:
                     chunk = data
                 elif compression == "bz2":
                     chunk = bz2.decompress(data)
+                elif compression == "lz4":
+                    # rosbag's roslz4 writes standard LZ4 frames
+                    from mlis_tpu.core import lz4f
+
+                    chunk = lz4f.decompress(data)
                 else:
                     raise NotImplementedError(
                         f"bag compression {compression!r} not supported"
@@ -217,6 +222,10 @@ class BagWriter:
         raw_len = len(chunk)
         if compression == "bz2":
             chunk = bz2.compress(chunk)
+        elif compression == "lz4":
+            from mlis_tpu.core import lz4f
+
+            chunk = lz4f.compress(chunk)
         chunk_header = _pack_header(
             {
                 b"op": bytes([OP_CHUNK]),

@@ -48,14 +48,14 @@ def _scan_blob(rng, base_z, n=1024, noise=0.03):
     return buf.tobytes()
 
 
-def _write_lidar_bag(path, rng, z_profile):
+def _write_lidar_bag(path, rng, z_profile, compression="none"):
     w = BagWriter(path)
     for i, z in enumerate(z_profile):
         w.write(
             "/ouster/points", "sensor_msgs/PointCloud2", float(i) * 0.5,
             encode_pointcloud2(float(i) * 0.5, _scan_blob(rng, z), 48, FIELDS),
         )
-    w.close()
+    w.close(compression=compression)
 
 
 def _track(path):
@@ -79,6 +79,18 @@ def test_single_floor_band(tmp_path, rng):
     assert z.std() < 0.15, f"z-std {z.std():.3f} exceeds PASS band"
     floors = {e.floor_number for e in tracker.floor_history}
     assert floors == {0}
+
+
+def test_single_floor_band_lz4_bag(tmp_path, rng):
+    """The real NUFR bags are lz4-chunked; the same PASS band must hold
+    reading through the lz4 frame path (reference ingests via rosbags,
+    test_lidar_floor_tracker.py:32-39)."""
+    _write_lidar_bag(tmp_path / "floor_lz4.bag", rng, [-1.5] * 60, "lz4")
+    tracker = _track(tmp_path / "floor_lz4.bag")
+    z = np.asarray([e.z_height for e in tracker.floor_history])
+    assert len(z) == 60
+    assert z.std() < 0.15
+    assert {e.floor_number for e in tracker.floor_history} == {0}
 
 
 def test_transit_band(tmp_path, rng):

@@ -125,7 +125,49 @@ def test_pointcloud2_roundtrip(rng):
     assert out_blob == blob
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_xxh32_known_vectors():
+    from mlis_tpu.core.lz4f import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"message digest") == 0x7C948494
+    # >= 16 bytes exercises the 4-lane stripe path
+    assert xxh32(b"abcdefghijklmnopqrstuvwxyz0123456789") == xxh32(
+        bytes(b"abcdefghijklmnopqrstuvwxyz0123456789")
+    )
+
+
+def test_lz4_frame_roundtrip_and_pure_python_decoder(rng):
+    from mlis_tpu.core import lz4f
+
+    # compressible payload (repeats) + incompressible tail (random)
+    data = b"semantic-gating-" * 4096 + rng.integers(
+        0, 256, size=10_000, dtype=np.uint8
+    ).tobytes()
+    frame = lz4f.compress(data)
+    assert frame[:4] == b"\x04\x22\x4d\x18"
+    assert lz4f.decompress(frame, verify_checksums=True) == data
+
+    # small block-size id forces the multi-block path
+    frame64k = lz4f.compress(data, block_size_id=4)
+    assert lz4f.decompress(frame64k) == data
+
+    # the pure-Python block decoder must agree with liblz4's output
+    if lz4f._LIB is not None:
+        comp = lz4f.block_compress(data[:100_000])
+        assert comp is not None
+        assert lz4f._py_block_decompress(comp, 100_000) == data[:100_000]
+
+
+def test_lz4_frame_rejects_garbage():
+    from mlis_tpu.core import lz4f
+
+    with pytest.raises(ValueError):
+        lz4f.decompress(b"\x00" * 16)
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_bag_roundtrip(tmp_path, rng, compression):
     path = tmp_path / "test.bag"
     w = BagWriter(path)
