@@ -191,10 +191,20 @@ def _cmd_all(args) -> int:
             f"{r.cross_floor_rate:.1%} cross-floor rejected"
         )
     print("[2/3] trajectory evaluation vs LeGO-LOAM")
-    run_full_evaluation(
+    eval_results = run_full_evaluation(
         args.trajectory_root,
         output_path=str(out / "metrics" / "final_evaluation.json"),
     )
+
+    # combined semantic comparison: gating stats + trajectory ATE
+    from mlis_tpu.eval.semantic_eval import SemanticEvaluator
+
+    ev = SemanticEvaluator(results_dir=str(out / "semantic_gating"))
+    for algo in results:
+        ev.evaluate_algorithm(algo, comprehensive_results=eval_results)
+    ev.to_json(str(out / "metrics" / "semantic_evaluation.json"))
+    ev.comparison_markdown(str(out / "metrics" / "semantic_evaluation.md"))
+
     print("[3/3] figures")
     from mlis_tpu.viz.paper_figures import generate_figure6, generate_figure7
 

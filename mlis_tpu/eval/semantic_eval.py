@@ -208,7 +208,20 @@ class SemanticEvaluator:
         algorithm: str,
         report_path: Optional[str] = None,
         tum_matrix: Optional[np.ndarray] = None,
+        reference_tum: Optional[np.ndarray] = None,
+        comprehensive_results: Optional[Dict] = None,
     ) -> SemanticEvaluationResult:
+        """Aggregate one algorithm's gating report + trajectory metrics.
+
+        ATE fields (reference semantic_evaluation.py:357-453 carries
+        per-algorithm trajectory accuracy in its comparison output) are
+        populated from either:
+          * `comprehensive_results` — the per-floor dict produced by
+            eval.comprehensive.run_full_evaluation (ate_vs_lego blocks
+            averaged across valid floors), or
+          * `reference_tum` — a reference TUM matrix to associate/align/
+            score `tum_matrix` against directly.
+        """
         res = SemanticEvaluationResult(algorithm=algorithm)
         report = (
             Path(report_path)
@@ -222,8 +235,47 @@ class SemanticEvaluator:
             res.mean_velocity = vm["mean_velocity"]
             res.velocity_std = vm["velocity_std"]
             res.endpoint_drift = vm["endpoint_drift"]
+
+        if comprehensive_results is not None:
+            ates = [
+                fr["ate_vs_lego"]
+                for fr in comprehensive_results.get(algorithm, {}).values()
+                if isinstance(fr, dict) and "ate_vs_lego" in fr
+            ]
+            if ates:
+                res.ate_rmse = float(np.mean([a["rmse"] for a in ates]))
+                res.ate_mean = float(np.mean([a["mean"] for a in ates]))
+                res.ate_max = float(np.max([a["max"] for a in ates]))
+        elif tum_matrix is not None and reference_tum is not None:
+            ate = self._ate_vs_reference(tum_matrix, reference_tum)
+            if ate is not None:
+                res.ate_rmse = ate["rmse"]
+                res.ate_mean = ate["mean"]
+                res.ate_max = ate["max"]
+
         self.results[algorithm] = res
         return res
+
+    @staticmethod
+    def _ate_vs_reference(
+        tum_matrix: np.ndarray,
+        reference_tum: np.ndarray,
+        max_time_diff: float = 0.5,
+    ) -> Optional[Dict[str, float]]:
+        from mlis_tpu.eval.alignment import align_se3
+        from mlis_tpu.eval.association import associate_by_time
+        from mlis_tpu.eval.metrics import compute_ate
+
+        est_idx, ref_idx = associate_by_time(
+            tum_matrix[:, 0], reference_tum[:, 0], max_diff=max_time_diff
+        )
+        if est_idx is None or len(est_idx) < 3:
+            return None
+        aligned, _, _ = align_se3(
+            tum_matrix[est_idx, 1:4], reference_tum[ref_idx, 1:4]
+        )
+        ate = compute_ate(aligned, reference_tum[ref_idx, 1:4])
+        return {k: float(v) for k, v in ate.items() if k != "errors"}
 
     def evaluate_all(self, algorithms=("orb_slam3", "droid_slam", "lego_loam")):
         for algo in algorithms:
@@ -250,8 +302,30 @@ class SemanticEvaluator:
         return out
 
     def comparison_markdown(self, path: Optional[str] = None) -> str:
+        """Multi-section comparison mirroring the reference's
+        generate_comparison_table (semantic_evaluation.py:357-453):
+        trajectory accuracy (ATE + drift), loop-closure metrics, smoothness."""
         lines = [
             "# Semantic Gating Comparison",
+            "",
+            "## Trajectory Accuracy",
+            "",
+            "| Algorithm | ATE RMSE | ATE mean | ATE max | Endpoint drift |",
+            "|---|---|---|---|---|",
+        ]
+
+        def _m(v: float) -> str:
+            return f"{v:.3f}m" if v > 0 else "N/A"
+
+        for algo, r in self.results.items():
+            lines.append(
+                f"| {algo} | {_m(r.ate_rmse)} | {_m(r.ate_mean)} "
+                f"| {_m(r.ate_max)} | {_m(r.endpoint_drift)} |"
+            )
+
+        lines += [
+            "",
+            "## Loop Closure Metrics",
             "",
             "| Algorithm | Candidates | Same-floor | Cross-floor | Cross-floor rate | Gating effectiveness |",
             "|---|---|---|---|---|---|",
@@ -263,6 +337,19 @@ class SemanticEvaluator:
                 f"| {lc.cross_floor_candidates:,} | {lc.cross_floor_rate:.1%} "
                 f"| {lc.gating_effectiveness:.1%} |"
             )
+
+        lines += [
+            "",
+            "## Trajectory Smoothness",
+            "",
+            "| Algorithm | Mean velocity (m/s) | Velocity std (m/s) |",
+            "|---|---|---|",
+        ]
+        for algo, r in self.results.items():
+            mv = f"{r.mean_velocity:.3f}" if r.mean_velocity > 0 else "N/A"
+            vs = f"{r.velocity_std:.3f}" if r.velocity_std > 0 else "N/A"
+            lines.append(f"| {algo} | {mv} | {vs} |")
+
         out = "\n".join(lines) + "\n"
         if path:
             Path(path).parent.mkdir(parents=True, exist_ok=True)

@@ -154,6 +154,42 @@ def test_semantic_evaluator_tables(tmp_path):
     assert "| orb_slam3 | 100 | 40 | 60 | 60.0% | 100.0% |" in md
 
 
+def test_semantic_evaluator_ate_fields(tmp_path):
+    """ATE fields populated from direct reference comparison and from
+    comprehensive-eval results (VERDICT r1 #9)."""
+    ev = SemanticEvaluator(results_dir=str(tmp_path))
+    t = np.arange(50) * 0.1
+    pos = np.zeros((50, 3))
+    pos[:, 0] = np.arange(50) * 0.2
+    ref = np.column_stack([t, pos, np.zeros((50, 3)), np.ones(50)])
+    est = ref.copy()
+    est[:, 2] += 0.5  # constant lateral offset, removed by SE(3) alignment
+    est[:, 1] += np.sin(np.arange(50) * 0.3) * 0.1  # residual error
+
+    r = ev.evaluate_algorithm("orb_slam3", tum_matrix=est, reference_tum=ref)
+    assert r.ate_rmse > 0
+    assert r.ate_max >= r.ate_rmse >= r.ate_mean > 0
+
+    comp = {
+        "droid_slam": {
+            "5th_floor": {"ate_vs_lego": {"rmse": 0.2, "mean": 0.15, "max": 0.5}},
+            "1st_floor": {"ate_vs_lego": {"rmse": 0.4, "mean": 0.3, "max": 0.9}},
+            "4th_floor": {"valid": False},
+        }
+    }
+    r2 = ev.evaluate_algorithm("droid_slam", comprehensive_results=comp)
+    assert r2.ate_rmse == pytest.approx(0.3)
+    assert r2.ate_mean == pytest.approx(0.225)
+    assert r2.ate_max == pytest.approx(0.9)
+
+    md = ev.comparison_markdown()
+    assert "## Trajectory Accuracy" in md
+    assert "| droid_slam | 0.300m | 0.225m | 0.900m |" in md
+
+    js = ev.to_json()
+    assert '"ate_rmse": 0.3' in js
+
+
 def test_velocity_metrics():
     t = np.arange(100) * 0.1
     pos = np.zeros((100, 3))
