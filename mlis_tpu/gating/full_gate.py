@@ -144,19 +144,32 @@ class FullGatePipeline:
         if verify and hasattr(self.verifier.matcher, "make_fused_match_verify"):
             kp_all = self._detect_all(self.verifier.matcher, images_dev)
 
-        # 1) descriptors
+        # 1) descriptors — kept DEVICE-RESIDENT end-to-end: retrieval
+        # consumes them on-chip, and downloading (B, D) blocks through the
+        # TPU tunnel costs ~0.3 s per 128 frames the gate never needs on
+        # the host. (The spr descriptor DB is not populated on this path;
+        # use SemanticPlaceRecognition.add_images_batch for a persistent DB.)
         t0 = time.perf_counter()
-        for s in range(0, n, encode_batch_size):
-            e = min(s + encode_batch_size, n)
-            self.spr.add_images_batch(
-                images_dev[s:e], timestamps[s:e], floor_labels[s:e]
-            )
+        encode_dev = getattr(self.spr.vpr, "encode_batch_device", None)
+        if encode_dev is not None:
+            chunks = [
+                encode_dev(images_dev[s : min(s + encode_batch_size, n)])
+                for s in range(0, n, encode_batch_size)
+            ]
+            db = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
+            times = jnp.asarray(np.asarray(timestamps, np.float32))
+        else:
+            for s in range(0, n, encode_batch_size):
+                e = min(s + encode_batch_size, n)
+                self.spr.add_images_batch(
+                    images_dev[s:e], timestamps[s:e], floor_labels[s:e]
+                )
+            db = jnp.asarray(self.spr.vpr.build_descriptor_matrix())
+            times = jnp.asarray(self.spr.vpr.timestamps())
         res.vpr_s = time.perf_counter() - t0
 
         # 2) retrieval
         t0 = time.perf_counter()
-        db = jnp.asarray(self.spr.vpr.build_descriptor_matrix())
-        times = jnp.asarray(self.spr.vpr.timestamps())
         scores, idx = cosine_topk(
             db, db, times, times, k=min(self.top_k, n),
             min_time_gap=self.min_time_gap,
@@ -276,11 +289,29 @@ class FullGatePipeline:
         results: List[MatchResult] = []
         B = self.verify_batch
         n_pairs = len(survivors)
+        # bucketed chunk sizes: full B-chunks, then the smallest power-of-2
+        # bucket (>= 64) covering the remainder — a 119-pair tail costs a
+        # 128-slot dispatch instead of a 256-slot one (matcher time scales
+        # with slots; the jit cache bounds compile count to log2(B/64)+1)
+        sizes: List[int] = []
+        rem = n_pairs
+        while rem > 0:
+            if rem >= B:
+                sizes.append(B)
+                rem -= B
+            else:
+                b = 64
+                while b < rem:
+                    b *= 2
+                sizes.append(min(b, B))
+                rem = 0
         # dispatch all chunks asynchronously, sync once at the end
         pending = []
-        for s in range(0, n_pairs, B):
-            chunk = survivors[s : s + B]
-            pad = B - len(chunk)
+        s = 0
+        for size in sizes:
+            chunk = survivors[s : s + size]
+            s += size
+            pad = size - len(chunk)
             qi = jnp.asarray(np.concatenate([chunk[:, 0], np.zeros(pad, np.int64)]))
             mi = jnp.asarray(np.concatenate([chunk[:, 1], np.zeros(pad, np.int64)]))
             pending.append(

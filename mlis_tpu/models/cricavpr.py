@@ -66,7 +66,7 @@ class CricaVPR(JaxEncoderVPR):
     def _forward(self, params, images):
         return self._forward_full(params, images)[0]
 
-    def encode_batch(self, images: np.ndarray) -> np.ndarray:
+    def encode_batch_device(self, images) -> jnp.ndarray:
         if self._jit_full is None:
             self._jit_full = jax.jit(self._forward_full)
         x = preprocess_imagenet(jnp.asarray(images), self.input_size)
@@ -77,7 +77,10 @@ class CricaVPR(JaxEncoderVPR):
         for i in range(patches.shape[0]):
             self.patch_cache.append(patches[i])
         self._patch_matrix = None
-        return np.asarray(desc, dtype=np.float32)
+        return desc
+
+    def encode_batch(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self.encode_batch_device(images), dtype=np.float32)
 
     def patch_matrix(self) -> jnp.ndarray:
         """Device-resident (N, P, D) stack of all cached patch features."""

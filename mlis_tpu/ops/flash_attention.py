@@ -23,6 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BQ = 256
 DEFAULT_BK = 512
+# single-block path: keep G * S * T * 4B (f32 score tiles) within scoped
+# VMEM (16 MB on v5e) alongside q/k/v/out blocks
+_SINGLE_BLOCK_BUDGET = 2 * 1024 * 1024  # max G * S_pad * T_pad
 
 
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, out_ref):
@@ -74,6 +77,29 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, out_ref):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _single_block_kernel(G, kvlen_ref, q_ref, k_ref, v_ref, out_ref):
+    """Grid: (BH // G,). Each step runs G whole (S, T) attention problems
+    with one-shot softmax — no online rescaling, no KV loop. At matcher
+    shapes (S = T = 1024, Dh = 64) the per-step arithmetic is ~8x the
+    KV-tiled kernel's, which amortizes per-step pipeline overhead and
+    measures ~20% faster end-to-end."""
+    base = pl.program_id(0) * G
+    scale = 1.0 / (q_ref.shape[2] ** 0.5)
+    for g in range(G):
+        q = q_ref[g]  # (S, Dh)
+        s = jnp.dot(q, k_ref[g].T, preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kvlen_ref[base + g], s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - jnp.where(jnp.isfinite(m), m, 0.0))
+        p = jnp.where(jnp.isfinite(s), p, 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[g], preferred_element_type=jnp.float32
+        )
+        out_ref[g] = (o / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q",))
 def flash_attention(
     q: jnp.ndarray,  # (BH, S, Dh)
@@ -87,6 +113,37 @@ def flash_attention(
     if kv_len is None:
         kv_len = jnp.full((BH,), T, jnp.int32)
     kv_len = kv_len.astype(jnp.int32)
+
+    # single-block fast path: whole (S, T) problems per grid step, grouped
+    # G-at-a-time, when the f32 score tiles fit scoped VMEM
+    S8 = -(-S // 8) * 8
+    T128 = -(-T // 128) * 128
+    if S8 * T128 <= _SINGLE_BLOCK_BUDGET and jax.devices()[0].platform == "tpu":
+        G = 1
+        while (
+            G * 2 <= BH
+            and BH % (G * 2) == 0
+            and (G * 2) * S8 * T128 <= _SINGLE_BLOCK_BUDGET
+        ):
+            G *= 2
+        if S8 != S:
+            q = jnp.pad(q, ((0, 0), (0, S8 - S), (0, 0)))
+        if T128 != T:
+            k = jnp.pad(k, ((0, 0), (0, T128 - T), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, T128 - T), (0, 0)))
+        out = pl.pallas_call(
+            functools.partial(_single_block_kernel, G),
+            grid=(BH // G,),
+            in_specs=[
+                pl.BlockSpec((BH,), lambda b: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((G, S8, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, T128, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, T128, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((G, S8, Dh), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BH, S8, Dh), q.dtype),
+        )(kv_len, q, k, v)
+        return out[:, :S]
 
     BQ = min(block_q, S)
     # pad S to a multiple of BQ; padded queries are harmless (masked rows
