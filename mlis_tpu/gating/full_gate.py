@@ -127,38 +127,58 @@ class FullGatePipeline:
         K: np.ndarray,
         encode_batch_size: int = 64,
         verify: bool = True,
+        upload_chunk: int = 32,
     ) -> FullGateResult:
+        import jax
+
         n = len(images)
         res = FullGateResult()
         t_start = time.perf_counter()
 
-        # upload keyframes ONCE; every stage reuses the device-resident
-        # array (host->device transfer through the TPU tunnel is a real
-        # cost at NUFR frame sizes)
-        images_dev = jnp.asarray(images)
+        # chunked upload: keyframe slices stream to the device while the
+        # detector/encoder programs for earlier slices already run (the
+        # transfers are host-initiated DMA, so they overlap queued compute
+        # — a single monolithic upload would serialize ~0.5-4 s of tunnel
+        # transfer in front of ALL device work)
+        fused_ok = verify and hasattr(
+            self.verifier.matcher, "make_fused_match_verify"
+        )
+        encode_dev = getattr(self.spr.vpr, "encode_batch_device", None)
+        uc = upload_chunk if (fused_ok and encode_dev is not None) else n
+        parts = [
+            jax.device_put(np.ascontiguousarray(images[s : min(s + uc, n)]))
+            for s in range(0, n, max(uc, 1))
+        ]
 
-        # dispatch keypoint detection EARLY (async, device-resident output):
-        # it is independent of the VPR stage, so its compute overlaps the
-        # encode/retrieval round-trips below
+        # per-slice keypoint detection + VPR encode, dispatched as each
+        # slice's upload is queued; both stages stay device-resident
         kp_all = None
-        if verify and hasattr(self.verifier.matcher, "make_fused_match_verify"):
-            kp_all = self._detect_all(self.verifier.matcher, images_dev)
+        t0 = time.perf_counter()
+        if fused_ok:
+            kp_parts = [
+                self._detect_all(self.verifier.matcher, p) for p in parts
+            ]
+            kp_all = (
+                kp_parts[0]
+                if len(kp_parts) == 1
+                else jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *kp_parts
+                )
+            )
 
         # 1) descriptors — kept DEVICE-RESIDENT end-to-end: retrieval
         # consumes them on-chip, and downloading (B, D) blocks through the
         # TPU tunnel costs ~0.3 s per 128 frames the gate never needs on
         # the host. (The spr descriptor DB is not populated on this path;
         # use SemanticPlaceRecognition.add_images_batch for a persistent DB.)
-        t0 = time.perf_counter()
-        encode_dev = getattr(self.spr.vpr, "encode_batch_device", None)
         if encode_dev is not None:
-            chunks = [
-                encode_dev(images_dev[s : min(s + encode_batch_size, n)])
-                for s in range(0, n, encode_batch_size)
-            ]
+            chunks = [encode_dev(p) for p in parts]
             db = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
             times = jnp.asarray(np.asarray(timestamps, np.float32))
         else:
+            images_dev = (
+                parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            )
             for s in range(0, n, encode_batch_size):
                 e = min(s + encode_batch_size, n)
                 self.spr.add_images_batch(
@@ -216,10 +236,14 @@ class FullGatePipeline:
             matcher = self.verifier.matcher
             if kp_all is not None:
                 res.results = self._verify_detect_once(
-                    matcher, images_dev, survivors, K, kp_all=kp_all
+                    matcher, parts[0], survivors, K, kp_all=kp_all
                 )
             else:
-                gray = np.asarray(to_grayscale(images_dev))
+                gray = np.asarray(
+                    to_grayscale(
+                        parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+                    )
+                )
                 res.results = self.verifier.verify_pairs_batch(
                     gray[survivors[:, 0]],
                     gray[survivors[:, 1]],
@@ -289,22 +313,21 @@ class FullGatePipeline:
         results: List[MatchResult] = []
         B = self.verify_batch
         n_pairs = len(survivors)
-        # bucketed chunk sizes: full B-chunks, then the smallest power-of-2
-        # bucket (>= 64) covering the remainder — a 119-pair tail costs a
-        # 128-slot dispatch instead of a 256-slot one (matcher time scales
-        # with slots; the jit cache bounds compile count to log2(B/64)+1)
+        # greedy power-of-2 buckets (>= 64): a 411-pair workload runs as
+        # 256+128+64 = 448 slots instead of 256+256 = 512 (matcher time
+        # scales with slots; the jit cache bounds compile count to
+        # log2(B/64)+1 bucket shapes)
         sizes: List[int] = []
         rem = n_pairs
         while rem > 0:
             if rem >= B:
-                sizes.append(B)
-                rem -= B
+                take = B
             else:
-                b = 64
-                while b < rem:
-                    b *= 2
-                sizes.append(min(b, B))
-                rem = 0
+                take = 64
+                while take * 2 <= rem:
+                    take *= 2
+            sizes.append(take)
+            rem -= min(take, rem)
         # dispatch all chunks asynchronously, sync once at the end
         pending = []
         s = 0

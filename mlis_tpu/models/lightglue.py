@@ -29,7 +29,6 @@ import numpy as np
 
 from mlis_tpu.gating.verification import BaseFeatureMatcher
 from mlis_tpu.models.superpoint import Keypoints, SuperPoint, SuperPointConfig
-from mlis_tpu.ops.attention import multi_head_attention
 from mlis_tpu.ops.image import to_grayscale
 from mlis_tpu.ops.sinkhorn import sinkhorn_with_dustbin
 
@@ -140,12 +139,21 @@ class AttnLayer(nn.Module):
             q = apply_rotary(q, *rot_x)
         if rot_src is not None:
             k = apply_rotary(k, *rot_src)
-        if jax.devices()[0].platform == "tpu":
+        Ks = source.shape[1]
+        if jax.devices()[0].platform == "tpu" and Kx * Ks > 1024 * 1024:
+            # long sequences: KV-tiled flash kernel (score matrix never
+            # materializes)
             msg = flash_mha(q, k, v, kv_valid=source_valid)
         else:
-            NEG = jnp.float32(-1e30)
-            bias = jnp.where(source_valid[:, None, None, :], 0.0, NEG)
-            msg = multi_head_attention(q, k, v, bias, use_pallas=False)
+            # matcher-scale sequences (<= 1k x 1k): XLA's fused dense
+            # attention measures ~20% faster than the Pallas kernels here
+            # (11 vs 14 ms at B=512, K=1024, H=4 on v5e — BENCH_NOTES)
+            s = jnp.einsum(
+                "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+            ) / (Dh**0.5)
+            s = jnp.where(source_valid[:, None, None, :], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            msg = jnp.einsum("bhst,bthd->bshd", p.astype(v.dtype), v)
         msg = msg.reshape(B, Kx, self.dim).astype(self.dtype)
         msg = nn.Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         h = jnp.concatenate([x, msg], axis=-1)
