@@ -88,16 +88,20 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 3) -> dict:
 
     parity_ok = _check_parity()
 
-    # Keyframes at half NUFR resolution (270x360) — the dataset's own
-    # deep-SLAM protocol downscales similarly (DROID runs at 448x320), and
-    # host->device transfer of full frames dominates wall-clock through
-    # this environment's TPU tunnel (~22 MB/s effective upload).
+    # Keyframes: mono8, half NUFR resolution (270x360). Mono is the
+    # dataset-faithful encoding — NUFR's FLIR camera array publishes mono8
+    # (reference extract_to_euroc.py:102 reads desired_encoding='mono8';
+    # place_recognition.py:316-322 converts GRAY2RGB before its encoders,
+    # which we mirror on-device). Half resolution matches the dataset's own
+    # deep-SLAM protocol (DROID runs at 448x320); host->device transfer of
+    # full frames dominates wall-clock through this environment's TPU
+    # tunnel (~22 MB/s effective upload).
     rng = np.random.default_rng(0)
     n_scenes = max(n_keyframes // 8, 1)
     bases = [
         np.kron(
-            rng.integers(0, 255, (34, 45, 3), dtype=np.uint8),
-            np.ones((8, 8, 1), np.uint8),
+            rng.integers(0, 255, (34, 45), dtype=np.uint8),
+            np.ones((8, 8), np.uint8),
         )[:270, :360]
         for _ in range(n_scenes)
     ]

@@ -31,6 +31,29 @@ from mlis_tpu.ops.image import to_grayscale
 from mlis_tpu.ops.knn import cosine_topk
 
 
+def _pack_verify_outputs(n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts):
+    """Pack one verify bucket's outputs into a (B, 30) f32 row block:
+    [n_kp0, n_kp1, n_match, n_inl, inlier_ratio, E.flat(9), T.flat(16)]."""
+    B = n_kp0.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    n_kp0.astype(jnp.float32),
+                    n_kp1.astype(jnp.float32),
+                    n_match.astype(jnp.float32),
+                    n_inl.astype(jnp.float32),
+                    ratios.astype(jnp.float32),
+                ],
+                axis=1,
+            ),
+            Es.reshape(B, 9).astype(jnp.float32),
+            Ts.reshape(B, 16).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
 @dataclass
 class FullGateResult:
     total_pairs: int = 0
@@ -121,7 +144,7 @@ class FullGatePipeline:
 
     def process(
         self,
-        images: np.ndarray,  # (N, H, W, 3) uint8 keyframes
+        images: np.ndarray,  # (N, H, W, 3) color or (N, H, W) mono8 keyframes
         timestamps: np.ndarray,
         floor_labels: np.ndarray,
         K: np.ndarray,
@@ -328,8 +351,13 @@ class FullGatePipeline:
                     take *= 2
             sizes.append(take)
             rem -= min(take, rem)
-        # dispatch all chunks asynchronously, sync once at the end
-        pending = []
+        # dispatch all chunks asynchronously; pack every bucket's outputs
+        # into ONE device-side (B_total, 30) f32 array so the host pays a
+        # single fetch round-trip (each blocking np.asarray costs a full
+        # tunnel RTT; all packed values — counts <= 2048, ratios, 3x3 E,
+        # 4x4 T — are exact in float32)
+        chunks: List[np.ndarray] = []
+        packed = []
         s = 0
         for size in sizes:
             chunk = survivors[s : s + size]
@@ -337,25 +365,31 @@ class FullGatePipeline:
             pad = size - len(chunk)
             qi = jnp.asarray(np.concatenate([chunk[:, 0], np.zeros(pad, np.int64)]))
             mi = jnp.asarray(np.concatenate([chunk[:, 1], np.zeros(pad, np.int64)]))
-            pending.append(
-                (chunk, fused(matcher.params, kp_all, qi, mi, jax.random.PRNGKey(s)))
-            )
+            out = fused(matcher.params, kp_all, qi, mi, jax.random.PRNGKey(s))
+            chunks.append(chunk)
+            packed.append(_pack_verify_outputs(*out))
+        flat = np.asarray(
+            packed[0] if len(packed) == 1 else jnp.concatenate(packed, axis=0)
+        )
         from mlis_tpu.gating.verification import _invalid_result
 
-        for chunk, out in pending:
-            n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts = jax.tree_util.tree_map(
-                np.asarray, out
-            )
+        s = 0
+        for chunk, size in zip(chunks, sizes):
+            rows = flat[s : s + len(chunk)]
+            s += size
             for p in range(len(chunk)):
                 q, m = int(chunk[p, 0]), int(chunk[p, 1])
-                if n_match[p] < 5:
+                n_match = int(rows[p, 2])
+                if n_match < 5:
                     results.append(_invalid_result(q, m))
                     continue
                 results.append(
                     self.verifier._result_from_counts(
                         q, m,
-                        int(n_kp0[p]), int(n_kp1[p]), int(n_match[p]),
-                        int(n_inl[p]), float(ratios[p]), Ts[p], Es[p],
+                        int(rows[p, 0]), int(rows[p, 1]), n_match,
+                        int(rows[p, 3]), float(rows[p, 4]),
+                        rows[p, 14:30].reshape(4, 4),
+                        rows[p, 5:14].reshape(3, 3),
                     )
                 )
         return results

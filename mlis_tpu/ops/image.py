@@ -19,14 +19,23 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 @functools.partial(jax.jit, static_argnames=("size", "bgr", "antialias"))
 def preprocess_imagenet(
-    images: jnp.ndarray,  # (B, H, W, 3) uint8 or float
+    images: jnp.ndarray,  # (B, H, W, 3) / (B, H, W, 1) / (B, H, W) uint8 or float
     size: Tuple[int, int],
     bgr: bool = True,
     antialias: bool = True,
 ) -> jnp.ndarray:
-    """uint8 (BGR or RGB) -> resized, ImageNet-normalized float32 (B,h,w,3)."""
+    """uint8 (BGR/RGB/mono) -> resized, ImageNet-normalized float32 (B,h,w,3).
+
+    Mono input (NUFR's FLIR array publishes mono8 frames) is replicated to
+    3 channels on-device — the reference does the same conversion host-side
+    with cv2.COLOR_GRAY2RGB (place_recognition.py:316-322) before its
+    encoders."""
     x = images.astype(jnp.float32) / 255.0
-    if bgr:
+    if x.ndim == 3:
+        x = x[..., None]
+    if x.shape[-1] == 1:
+        x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+    elif bgr:
         x = x[..., ::-1]
     B = x.shape[0]
     x = jax.image.resize(

@@ -19,7 +19,9 @@ class _PatchEncoder:
     """Deterministic cheap encoder: downsampled grayscale as descriptor."""
 
     def encode_batch(self, images):
-        x = images.astype(np.float32).mean(-1)
+        x = images.astype(np.float32)
+        if x.ndim == 4:  # color -> gray
+            x = x.mean(-1)
         B = x.shape[0]
         d = x[:, ::12, ::12].reshape(B, -1)
         return d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-8)
@@ -102,6 +104,46 @@ def test_full_gate_empty_when_threshold_high(rng):
     res = pipe.process(images, np.arange(8) * 30.0, np.ones(8, int), K_CAM)
     assert res.total_pairs == 0
     assert res.pairs_per_sec == 0.0
+
+
+def test_full_gate_mono_matches_replicated_rgb(rng, pipeline):
+    """Mono8 keyframes (NUFR's FLIR array encoding, reference
+    extract_to_euroc.py:102) run the same gate as gray-replicated RGB:
+    BT.601 weights sum to 1 on replicated channels, so keypoints,
+    retrieval, and verification decisions are identical."""
+    n = 16
+    mono = _scene_images(rng, n)[..., 0]  # (N, H, W) uint8
+    rgb = np.repeat(mono[..., None], 3, axis=-1)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 8 + [2] * 8)
+
+    res_m = pipeline.process(mono, times, floors, K_CAM)
+    pipeline.spr.vpr.descriptors = []
+    pipeline.spr.vpr._matrix_cache = None
+    res_c = pipeline.process(rgb, times, floors, K_CAM)
+
+    assert res_m.total_pairs == res_c.total_pairs > 0
+    assert res_m.cross_floor_rejected == res_c.cross_floor_rejected
+    assert res_m.verified == res_c.verified
+    valid_m = [(r.query_idx, r.match_idx) for r in res_m.results if r.is_valid]
+    valid_c = [(r.query_idx, r.match_idx) for r in res_c.results if r.is_valid]
+    assert valid_m == valid_c
+
+
+def test_preprocess_imagenet_mono_replication():
+    """On-device GRAY->RGB replication mirrors the reference's
+    cv2.COLOR_GRAY2RGB (place_recognition.py:316-322)."""
+    from mlis_tpu.ops.image import preprocess_imagenet
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(0, 255, (2, 40, 50), dtype=np.uint8)
+    rgb = np.repeat(mono[..., None], 3, axis=-1)
+    out_m = np.asarray(preprocess_imagenet(mono, (24, 24)))
+    out_m1 = np.asarray(preprocess_imagenet(mono[..., None], (24, 24)))
+    out_c = np.asarray(preprocess_imagenet(rgb, (24, 24)))
+    assert out_m.shape == (2, 24, 24, 3)
+    np.testing.assert_allclose(out_m, out_c, atol=1e-6)
+    np.testing.assert_allclose(out_m, out_m1, atol=1e-6)
 
 
 def test_full_gate_from_config():
