@@ -289,23 +289,30 @@ class SemanticPlaceRecognition:
             scores = np.take_along_axis(mixed, order, axis=1)
             idx = np.take_along_axis(idx, order, axis=1)
 
-        matches: List[PlaceMatch] = []
-        for i in range(n):
-            for s, j in zip(scores[i], idx[i]):
-                if not np.isfinite(s) or s < self.similarity_threshold:
-                    continue
-                m = PlaceMatch(
-                    query_idx=i,
-                    match_idx=int(j),
-                    similarity=float(s),
-                    query_timestamp=float(ts[i]),
-                    match_timestamp=float(ts[int(j)]),
-                )
-                qf, mf = floors[m.query_idx], floors[m.match_idx]
-                if enable_floor_gating and qf > -(10**9) and mf > -(10**9):
-                    m.is_valid = bool(qf == mf)
-                matches.append(m)
-        return matches
+        # vectorized match construction (row-major nonzero preserves the
+        # reference's per-query, descending-similarity order; a Python
+        # n x k loop is ~19k x 10 iterations at SURVEY §6 scale)
+        keep = np.isfinite(scores) & (scores >= self.similarity_threshold)
+        qi, kk = np.nonzero(keep)
+        mj = idx[qi, kk]
+        sim = scores[qi, kk]
+        valid = np.ones(len(qi), dtype=bool)
+        if enable_floor_gating:
+            qf = floors[qi]
+            mf = floors[mj]
+            known = (qf > -(10**9)) & (mf > -(10**9))
+            valid = np.where(known, qf == mf, True)
+        return [
+            PlaceMatch(
+                query_idx=int(qi[p]),
+                match_idx=int(mj[p]),
+                similarity=float(sim[p]),
+                query_timestamp=float(ts[qi[p]]),
+                match_timestamp=float(ts[mj[p]]),
+                is_valid=bool(valid[p]),
+            )
+            for p in range(len(qi))
+        ]
 
     def get_statistics(self, matches: List[PlaceMatch]) -> Dict:
         if not matches:
