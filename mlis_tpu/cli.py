@@ -206,12 +206,37 @@ def _cmd_all(args) -> int:
     ev.comparison_markdown(str(out / "metrics" / "semantic_evaluation.md"))
 
     print("[3/3] figures")
+    from mlis_tpu.core.dataset import NUFRM3F
+    from mlis_tpu.viz.figures import (
+        export_interactive_3d_html,
+        plot_all_floors_overview,
+        plot_paper_comparison,
+        plot_rpe_boxplot,
+    )
     from mlis_tpu.viz.paper_figures import generate_figure6, generate_figure7
 
     figs = out / "figures"
     figs.mkdir(parents=True, exist_ok=True)
     generate_figure6(args.trajectory_root, figs / "figure6.png")
     generate_figure7(args.trajectory_root, figs / "figure7.png")
+    plot_rpe_boxplot(eval_results, figs / "rpe_boxplot.png")
+    plot_paper_comparison(eval_results, figs / "paper_comparison.png")
+    try:
+        from mlis_tpu.core.trajectory import combine_sequences
+
+        lego = NUFRM3F(args.trajectory_root, "lego_loam")
+        seqs = lego.load()
+        plot_all_floors_overview(
+            {name: traj.as_matrix() for name, _, traj in seqs},
+            figs / "all_floors_overview.png",
+        )
+        mat, floors = combine_sequences(seqs, {})
+        export_interactive_3d_html(
+            mat, floors, figs / "trajectory_3d.html",
+            title="LeGO-LOAM multi-floor trajectory",
+        )
+    except FileNotFoundError:
+        print("  (no lego_loam trajectories; overview/3D HTML skipped)")
     print(f"done; results under {out}")
     return 0
 

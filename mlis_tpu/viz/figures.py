@@ -17,6 +17,7 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib import colors as mcolors  # noqa: E402
 from matplotlib.patches import Patch  # noqa: E402
 
 
@@ -209,6 +210,293 @@ def plot_segment_heatmap(
     path = Path(path)
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)
+    return path
+
+
+def plot_rpe_boxplot(
+    results: Dict[str, Dict],  # comprehensive-eval results[algo][floor]
+    path: str | Path,
+    rpe_key: str = "rpe_1m",
+) -> Path:
+    """RPE distribution box plot across floors per algorithm (reference
+    evaluation/generate_figures.py:323-361)."""
+    data, labels = [], []
+    for algo, floors in results.items():
+        vals = [
+            r[rpe_key]["rmse"]
+            for r in floors.values()
+            if isinstance(r, dict) and rpe_key in r
+        ]
+        if vals:
+            data.append(vals)
+            labels.append(algo)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    if data:
+        bp = ax.boxplot(data, tick_labels=labels, patch_artist=True)
+        cmap = plt.cm.Set2(np.linspace(0, 1, max(len(data), 2)))
+        for patch, c in zip(bp["boxes"], cmap):
+            patch.set_facecolor(c)
+            patch.set_alpha(0.7)
+    ax.set_ylabel(f"RPE RMSE ({rpe_key.split('_')[1]} segments)")
+    ax.set_title("Relative pose error distribution across all floors")
+    ax.grid(True, alpha=0.3, axis="y")
+    fig.tight_layout()
+    path = Path(path)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_paper_comparison(
+    results: Dict[str, Dict],  # comprehensive-eval results[algo][floor]
+    path: str | Path,
+) -> Path:
+    """Ours-vs-paper endpoint-drift bars, one panel per floor (reference
+    evaluation/generate_figures.py:265-317; paper values ride in each
+    result's `paper_ate` field from Table IV)."""
+    floors: List[str] = []
+    for fl_map in results.values():
+        for fl in fl_map:
+            if fl not in floors:
+                floors.append(fl)
+    ncols = 2
+    nrows = max((len(floors) + 1) // 2, 1)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(7 * ncols, 5 * nrows))
+    axes = np.atleast_1d(axes).flatten()
+    algos = list(results)
+    x = np.arange(len(algos))
+    width = 0.35
+    for idx, floor in enumerate(floors):
+        ax = axes[idx]
+        ours = [
+            results[a].get(floor, {}).get("endpoint_drift", 0.0) for a in algos
+        ]
+        paper = [
+            results[a].get(floor, {}).get("paper_ate") or 0.0 for a in algos
+        ]
+        ax.bar(x - width / 2, ours, width, label="Ours", color="steelblue")
+        ax.bar(x + width / 2, paper, width, label="Paper", color="coral")
+        ax.set_ylabel("Endpoint drift (m)")
+        ax.set_title(floor.replace("_", " ").title())
+        ax.set_xticks(x)
+        ax.set_xticklabels(algos, rotation=45, ha="right")
+        ax.legend()
+        ax.grid(True, alpha=0.3, axis="y")
+    for ax in axes[len(floors):]:
+        ax.axis("off")
+    fig.suptitle("Endpoint drift: our results vs paper", fontweight="bold")
+    fig.tight_layout()
+    path = Path(path)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_all_floors_overview(
+    trajectories: Dict[str, np.ndarray],  # floor name -> TUM matrix (N, >=4)
+    path: str | Path,
+    algo_label: str = "LeGO-LOAM",
+    paper_values: Optional[Dict[str, Dict[str, float]]] = None,
+) -> Path:
+    """Per-floor top-down grid in the paper Figure-7 orientation (x -> -x,
+    z forward), with start/end markers and length/drift vs paper stats in
+    the titles (reference visualization/plot_all_floors.py)."""
+    floors = list(trajectories)
+    ncols = 2
+    nrows = max((len(floors) + 1) // 2, 1)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(7 * ncols, 7 * nrows))
+    axes = np.atleast_1d(axes).flatten()
+    cmap = plt.cm.tab10(np.linspace(0, 1, max(len(floors), 2)))
+    for idx, floor in enumerate(floors):
+        ax = axes[idx]
+        tum = trajectories[floor]
+        if tum is None or len(tum) < 2:
+            ax.text(0.5, 0.5, f"{floor}\n(no data)", ha="center", va="center",
+                    transform=ax.transAxes)
+            continue
+        x = -tum[:, 1]  # paper orientation
+        z = tum[:, 3]
+        ax.plot(x, z, color=cmap[idx], linewidth=1.5, label=algo_label)
+        ax.plot(x[0], z[0], "go", markersize=8, label="Start")
+        ax.plot(x[-1], z[-1], "ro", markersize=8, label="End")
+        length = float(np.linalg.norm(np.diff(tum[:, 1:4], axis=0), axis=1).sum())
+        drift = float(np.linalg.norm(tum[-1, 1:4] - tum[0, 1:4]))
+        title = f"{floor.replace('_', ' ').title()}\nL={length:.0f}m"
+        pv = (paper_values or {}).get(floor)
+        if pv:
+            title += f" (paper: {pv.get('length_m', '?')}m)"
+        title += f", drift={drift:.2f}m"
+        if pv and "ate_m" in pv:
+            title += f" (paper: {pv['ate_m']}m)"
+        ax.set_title(title, fontsize=10)
+        ax.set_xlabel("x (m)")
+        ax.set_ylabel("z (m)")
+        ax.axis("equal")
+        ax.grid(True, alpha=0.3)
+        if idx == 0:
+            ax.legend(loc="best", fontsize=8)
+    for ax in axes[len(floors):]:
+        ax.axis("off")
+    fig.suptitle(f"{algo_label} trajectories — all floors", fontweight="bold")
+    fig.tight_layout()
+    path = Path(path)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def segment_by_floor_height(
+    positions: np.ndarray,  # (N, 3)
+    floor_heights: Dict[str, float],
+    tolerance: float = 2.0,
+) -> Dict[str, np.ndarray]:
+    """Height-threshold floor segmentation: index masks per named floor
+    (reference visualization/generate_paper_figures.py:56-82)."""
+    z = positions[:, 2]
+    return {
+        name: np.abs(z - h) < tolerance
+        for name, h in floor_heights.items()
+        if bool(np.any(np.abs(z - h) < tolerance))
+    }
+
+
+def detect_loop_closure_events(
+    positions_with_lc: np.ndarray,
+    positions_no_lc: np.ndarray,
+    jump_threshold: float = 5.0,
+    proximity: float = 3.0,
+    min_index_gap: int = 100,
+) -> List[Tuple[int, int]]:
+    """Infer loop-closure constraints from an LC/no-LC trajectory pair:
+    discontinuities in the with-vs-without difference mark correction
+    events; temporally distant poses pulled within `proximity` of the jump
+    are the (mis)matched pairs (reference generate_paper_figures.py:85-122,
+    vectorized)."""
+    if len(positions_with_lc) != len(positions_no_lc):
+        return []
+    diff = np.linalg.norm(positions_with_lc - positions_no_lc, axis=1)
+    jumps = np.where(np.abs(np.gradient(diff)) > jump_threshold)[0]
+    events: List[Tuple[int, int]] = []
+    n = len(positions_with_lc)
+    for j in jumps:
+        d = np.linalg.norm(positions_with_lc - positions_with_lc[j], axis=1)
+        close_but_far = np.where(
+            (d < proximity) & (np.abs(np.arange(n) - j) > min_index_gap)
+        )[0]
+        events.extend((int(j), int(m)) for m in close_but_far)
+    return events
+
+
+_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title>
+<style>body{margin:0;background:#111;color:#ddd;font-family:sans-serif}
+#c{display:block;cursor:grab}#hud{position:fixed;top:8px;left:10px;font-size:13px}
+.sw{display:inline-block;width:10px;height:10px;margin-right:4px;border-radius:2px}
+</style></head><body>
+<canvas id="c"></canvas><div id="hud"><b>__TITLE__</b> — drag to rotate,
+wheel to zoom<div id="legend"></div></div>
+<script>
+const DATA=__DATA__;
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+let rx=-1.0,rz=0.6,zoom=1,cx=0,cy=0;
+function resize(){cv.width=innerWidth;cv.height=innerHeight;draw()}
+addEventListener('resize',resize);
+let drag=null;
+cv.addEventListener('mousedown',e=>drag=[e.clientX,e.clientY]);
+addEventListener('mouseup',()=>drag=null);
+addEventListener('mousemove',e=>{if(!drag)return;
+ rz+=(e.clientX-drag[0])*0.01;rx+=(e.clientY-drag[1])*0.01;
+ drag=[e.clientX,e.clientY];draw()});
+cv.addEventListener('wheel',e=>{e.preventDefault();
+ zoom*=Math.exp(-e.deltaY*0.001);draw()});
+function proj(p){
+ const cz=Math.cos(rz),sz=Math.sin(rz),cxr=Math.cos(rx),sxr=Math.sin(rx);
+ const x=p[0]*cz-p[1]*sz,y=p[0]*sz+p[1]*cz;
+ const y2=y*cxr-p[2]*sxr,z2=y*sxr+p[2]*cxr;
+ return[cv.width/2+ (x-cx)*zoom*DATA.scale, cv.height/2+ (y2-cy)*zoom*DATA.scale, z2];}
+function draw(){
+ ctx.fillStyle='#111';ctx.fillRect(0,0,cv.width,cv.height);
+ for(const seg of DATA.segments){
+  ctx.strokeStyle=seg.color;ctx.lineWidth=1.4;ctx.beginPath();
+  let first=true;
+  for(const p of seg.points){const q=proj(p);
+   if(first){ctx.moveTo(q[0],q[1]);first=false}else ctx.lineTo(q[0],q[1]);}
+  ctx.stroke();}
+ for(const l of DATA.links){
+  ctx.strokeStyle=l.valid?'rgba(60,220,60,0.5)':'rgba(240,60,60,0.6)';
+  ctx.lineWidth=1;ctx.beginPath();
+  const a=proj(l.a),b=proj(l.b);ctx.moveTo(a[0],a[1]);ctx.lineTo(b[0],b[1]);
+  ctx.stroke();}}
+const lg=document.getElementById('legend');
+lg.innerHTML=DATA.segments.map(s=>'<div><span class="sw" style="background:'+
+ s.color+'"></span>'+s.name+'</div>').join('');
+resize();
+</script></body></html>
+"""
+
+
+def export_interactive_3d_html(
+    tum_matrix: np.ndarray,
+    floor_labels: np.ndarray,
+    path: str | Path,
+    title: str = "Multi-floor trajectory",
+    floor_height: float = 5.0,
+    link_pairs: Optional[Sequence[Tuple[int, int]]] = None,
+    max_points_per_floor: int = 4000,
+) -> Path:
+    """Self-contained interactive 3D HTML (drag-rotate / wheel-zoom canvas
+    renderer, trajectory data embedded as JSON). Replaces the reference's
+    plotly-gated interactive export (visualization/generate_figures.py:27-32
+    skips silently without plotly; this needs no dependencies at all)."""
+    import json as _json
+
+    colors = _floor_colors(floor_labels)
+    min_floor = min(colors)
+    hexes = {f: mcolors.to_hex(c) for f, c in colors.items()}
+    z_of = (np.asarray(floor_labels) - min_floor) * floor_height
+    segments = []
+    for f in sorted(colors):
+        m = np.asarray(floor_labels) == f
+        pts = np.column_stack(
+            [tum_matrix[m, 1], tum_matrix[m, 3], z_of[m]]
+        )
+        if len(pts) > max_points_per_floor:
+            pts = pts[:: int(np.ceil(len(pts) / max_points_per_floor))]
+        segments.append(
+            {
+                "name": f"Floor {f}",
+                "color": hexes[f],
+                "points": np.round(pts, 3).tolist(),
+            }
+        )
+    links = []
+    if link_pairs is not None:
+        fl = np.asarray(floor_labels)
+        for q, mI in list(link_pairs)[:500]:
+            links.append(
+                {
+                    "a": [
+                        float(tum_matrix[q, 1]),
+                        float(tum_matrix[q, 3]),
+                        float(z_of[q]),
+                    ],
+                    "b": [
+                        float(tum_matrix[mI, 1]),
+                        float(tum_matrix[mI, 3]),
+                        float(z_of[mI]),
+                    ],
+                    "valid": bool(fl[q] == fl[mI]),
+                }
+            )
+    span = float(
+        np.max(np.ptp(tum_matrix[:, 1:4], axis=0)) or 1.0
+    )
+    data = {"segments": segments, "links": links, "scale": 500.0 / span}
+    html = _HTML_TEMPLATE.replace("__TITLE__", title).replace(
+        "__DATA__", _json.dumps(data)
+    )
+    path = Path(path)
+    path.write_text(html)
     return path
 
 
