@@ -8,7 +8,8 @@ subcommands of one entry point (`python -m mlis_tpu <cmd>`):
   evaluate   full trajectory evaluation vs LeGO-LOAM pseudo-GT
              (comprehensive_evaluation / final_eval)
   pipeline   trajectory+IMU semantic gating pipeline (incl. --demo)
-  calib      Kalibr -> ORB-SLAM3 / VINS-Fusion / Basalt / LeGO-LOAM configs
+  calib      Kalibr -> ORB-SLAM3 / VINS-Fusion / Basalt / LeGO-LOAM configs,
+             plus `info` (inspect cameras + baselines) and `sample` template
   bag        bag info / IMU / odometry-TUM extraction (bag_utils + extractors)
   bench      one-line JSON throughput benchmark
 """
@@ -70,7 +71,19 @@ def _cmd_pipeline(args, extra) -> int:
 def _cmd_calib(args) -> int:
     from mlis_tpu.core import calibration as cal
 
+    if args.format == "sample":
+        out = cal.sample_kalibr_yaml(output_path=args.output)
+        if not args.output:
+            print(out)
+        return 0
+    if not args.cameras:
+        print("--cameras is required", file=sys.stderr)
+        return 2
     cams = cal.load_kalibr_cameras(args.cameras)
+    if args.format == "info":
+        print(f"Calibration file: {args.cameras}")
+        print(cal.calibration_info(cams))
+        return 0
     if args.format == "orbslam3":
         out = cal.convert_to_orbslam3(
             cams, args.left, args.right, output_path=args.output
@@ -270,7 +283,10 @@ def main(argv=None) -> int:
     sub.add_parser("pipeline", help="gating pipeline (args passed through; see --help)")
 
     p = sub.add_parser("calib", help="calibration conversion")
-    p.add_argument("format", choices=["orbslam3", "vins", "basalt", "lego-loam"])
+    p.add_argument(
+        "format",
+        choices=["orbslam3", "vins", "basalt", "lego-loam", "info", "sample"],
+    )
     p.add_argument("--cameras", required=False)
     p.add_argument("--cam-imu")
     p.add_argument("--imu")

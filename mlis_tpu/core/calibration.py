@@ -406,3 +406,62 @@ def convert_to_lego_loam(
         "",
     ]
     return _write("\n".join(lines), output_path)
+
+
+def calibration_info(cameras: CameraSet) -> str:
+    """Human-readable inspection of a Kalibr camera set: per-camera
+    intrinsics/distortion and all pairwise stereo baselines (the
+    reference converter's `info` subcommand, calib_converter.py:720-814)."""
+    lines = [f"Found {len(cameras)} cameras:"]
+    for name, (intr, _) in cameras.items():
+        lines += [
+            f"",
+            f"  {name}:",
+            f"    Resolution: {intr.width}x{intr.height}",
+            f"    Intrinsics: fx={intr.fx:.2f}, fy={intr.fy:.2f}, "
+            f"cx={intr.cx:.2f}, cy={intr.cy:.2f}",
+            f"    Distortion ({intr.distortion_model}): "
+            f"{intr.distortion_coeffs}",
+        ]
+    names = sorted(cameras)
+    if len(names) >= 2:
+        lines += ["", "Stereo baselines:"]
+        for i, c1 in enumerate(names):
+            for c2 in names[i + 1:]:
+                try:
+                    b = compute_stereo_baseline(cameras, c1, c2)
+                    lines.append(f"  {c1}-{c2}: {b:.4f}m")
+                except Exception:
+                    pass
+    return "\n".join(lines)
+
+
+def sample_kalibr_yaml(output_path=None) -> str:
+    """A minimal NUFR-shaped Kalibr stereo chain, usable as a template for
+    every converter in this module (`sample` subcommand parity)."""
+    text = "\n".join(
+        [
+            "# Sample Kalibr camera-chain calibration (stereo pair)",
+            "cam0:",
+            "  camera_model: pinhole",
+            "  intrinsics: [610.0, 610.5, 640.0, 400.0]",
+            "  distortion_model: radtan",
+            "  distortion_coeffs: [-0.02, 0.01, 0.0, 0.0]",
+            "  resolution: [1280, 800]",
+            "  rostopic: /camera_array/cam0/image_raw",
+            "cam1:",
+            "  camera_model: pinhole",
+            "  intrinsics: [612.0, 612.4, 638.0, 402.0]",
+            "  distortion_model: radtan",
+            "  distortion_coeffs: [-0.021, 0.011, 0.0, 0.0]",
+            "  resolution: [1280, 800]",
+            "  rostopic: /camera_array/cam1/image_raw",
+            "  T_cn_cnm1:",
+            "  - [1.0, 0.0, 0.0, -0.164]",
+            "  - [0.0, 1.0, 0.0, 0.0]",
+            "  - [0.0, 0.0, 1.0, 0.0]",
+            "  - [0.0, 0.0, 0.0, 1.0]",
+            "",
+        ]
+    )
+    return _write(text, output_path)

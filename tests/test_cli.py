@@ -80,6 +80,23 @@ def test_cli_calib_orbslam3(tmp_path, capsys):
     assert "LoopClosing.Enabled: 0" in out.read_text()
 
 
+def test_cli_calib_sample_and_info(tmp_path, capsys):
+    """`sample` emits a loadable Kalibr template; `info` inspects it with
+    per-camera intrinsics and pairwise baselines (reference
+    calib_converter.py info/sample subcommands)."""
+    spath = tmp_path / "sample.yaml"
+    rc = main(["calib", "sample", "--output", str(spath)])
+    assert rc == 0
+    rc = main(["calib", "info", "--cameras", str(spath)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Found 2 cameras" in out
+    assert "Resolution: 1280x800" in out
+    assert "cam0-cam1: 0.1640m" in out
+    # info without --cameras is a usage error
+    assert main(["calib", "info"]) == 2
+
+
 def test_cli_calib_vins_requires_imu(tmp_path, capsys):
     cpath = tmp_path / "cams.yaml"
     cpath.write_text(yaml.dump({"cam0": {"intrinsics": [1, 1, 0, 0], "resolution": [4, 4]}}))
