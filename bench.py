@@ -79,7 +79,7 @@ def bench_sweep() -> dict:
     }
 
 
-def bench_full_gate(n_keyframes: int = None, reps: int = 3) -> dict:
+def bench_full_gate(n_keyframes: int = None, reps: int = 3, fullres: bool = False) -> dict:
     n_keyframes = n_keyframes or int(os.environ.get("MLIS_BENCH_KEYFRAMES", 128))
     from mlis_tpu.gating.full_gate import FullGatePipeline
     from mlis_tpu.gating.verification import GeometricVerifier
@@ -87,6 +87,12 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 3) -> dict:
     from mlis_tpu.models.superpoint import SuperPointConfig
 
     parity_ok = _check_parity()
+    # fullres: native 540x720 NUFR keyframes with the reference's
+    # max-2048-keypoint detector configuration
+    # (geometric_verification.py:216-242) — reported alongside the
+    # half-res protocol for transparency.
+    res_h, res_w = (540, 720) if fullres else (270, 360)
+    max_kpts = 2048 if fullres else 1024
 
     # Keyframes: mono8, half NUFR resolution (270x360). Mono is the
     # dataset-faithful encoding — NUFR's FLIR camera array publishes mono8
@@ -98,39 +104,50 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 3) -> dict:
     # tunnel (~22 MB/s effective upload).
     rng = np.random.default_rng(0)
     n_scenes = max(n_keyframes // 8, 1)
+    cell = 8 if not fullres else 16
     bases = [
         np.kron(
-            rng.integers(0, 255, (34, 45), dtype=np.uint8),
-            np.ones((8, 8), np.uint8),
-        )[:270, :360]
+            rng.integers(0, 255, (res_h // cell + 1, res_w // cell + 1), dtype=np.uint8),
+            np.ones((cell, cell), np.uint8),
+        )[:res_h, :res_w]
         for _ in range(n_scenes)
     ]
     images = np.stack([bases[i % n_scenes] for i in range(n_keyframes)])
     timestamps = np.arange(n_keyframes) * 30.0
     floors = np.asarray([5] * (n_keyframes // 2) + [2] * (n_keyframes - n_keyframes // 2))
-    K = np.array([[200.0, 0, 180.0], [0, 200.0, 135.0], [0, 0, 1.0]])
+    f = 200.0 * (res_w / 360.0)
+    K = np.array([[f, 0, res_w / 2], [0, f, res_h / 2], [0, 0, 1.0]])
 
     matcher = LightGlue(
-        sp_cfg=SuperPointConfig(max_keypoints=1024),
+        sp_cfg=SuperPointConfig(max_keypoints=max_kpts),
         matcher_cfg=MatcherConfig.lightglue(),
     )
     pipe = FullGatePipeline(
         vpr_method="mixvpr",
         verifier=GeometricVerifier(matcher=matcher),
         similarity_threshold=0.3,
-        verify_batch=256,
+        # 2048-kpt attention at batch 256 exceeds the 16G HBM; 64 fits
+        verify_batch=64 if fullres else 256,
         detect_scale=1.0,
     )
 
     best = None
+    budget = None  # rep 0 runs the exact two-phase path, later reps use
+    # the observed survivor count as a device-compaction budget (overflow
+    # falls back to exact — see FullGatePipeline.process survivor_budget)
     for _ in range(reps):
         pipe.spr.vpr.descriptors = []
         pipe.spr.vpr._matrix_cache = None
-        res = pipe.process(images, timestamps, floors, K, encode_batch_size=128)
+        res = pipe.process(
+            images, timestamps, floors, K,
+            encode_batch_size=128, survivor_budget=budget,
+        )
+        budget = res.verified or None
         if best is None or res.pairs_per_sec > best.pairs_per_sec:
             best = res
     return {
         "metric": "full_gate_keyframe_pairs_per_sec"
+        + ("_fullres_2048kpt" if fullres else "")
         + ("" if parity_ok else "_synthetic_only"),
         "value": round(best.pairs_per_sec, 1),
         "unit": "pairs/s",
@@ -140,7 +157,12 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 3) -> dict:
 
 def main():
     mode = os.environ.get("MLIS_BENCH_MODE", "full")
-    out = bench_full_gate() if mode == "full" else bench_sweep()
+    if mode == "sweep":
+        out = bench_sweep()
+    elif mode == "fullres":
+        out = bench_full_gate(fullres=True)
+    else:
+        out = bench_full_gate()
     print(json.dumps(out))
 
 

@@ -96,7 +96,7 @@ class VPRConfig:
 class VerificationConfig:
     """Geometric verification thresholds (reference geometric_verification.py:537-553,616-620)."""
 
-    matcher: str = "lightglue"  # lightglue | superglue | loftr
+    matcher: str = "lightglue"  # lightglue | superglue | loftr | orb (weight-free)
     max_keypoints: int = 2048
     ransac_threshold_px: float = 3.0
     ransac_prob: float = 0.999

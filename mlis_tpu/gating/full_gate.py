@@ -17,10 +17,12 @@ All stages run as fixed-shape device batches:
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +31,56 @@ from mlis_tpu.gating.place_recognition import SemanticPlaceRecognition
 from mlis_tpu.gating.verification import GeometricVerifier, MatchResult
 from mlis_tpu.ops.image import to_grayscale
 from mlis_tpu.ops.knn import cosine_topk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "M", "threshold", "min_time_gap", "strict"),
+)
+def _gate_compact(
+    db, times, floors, *, k, M, threshold, min_time_gap, strict
+):
+    """Device-side retrieval -> unique-pair dedup -> floor gate -> survivor
+    compaction, all static shapes (no host round-trip until the verify
+    results are fetched).
+
+    Dedup mirrors the host path's np.unique over (min, max) index pairs:
+    pack each above-threshold candidate as lo*n+hi, sort, keep first
+    occurrences. Survivors are compacted to the first M slots by a stable
+    argsort on the accept mask (so the output order matches np.unique's
+    ascending (lo, hi) order). Requires n*n < 2^31 (int32 keys).
+
+    Returns (qi (M,), mi (M,), stats (3,) = [total, rejected, n_survivors]).
+    """
+    from mlis_tpu.gating.gate import gate_mask
+    from mlis_tpu.ops.knn import cosine_topk
+
+    n = db.shape[0]
+    scores, idx = cosine_topk(
+        db, db, times, times, k=k, min_time_gap=min_time_gap
+    )
+    q = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    valid = jnp.isfinite(scores) & (scores >= threshold)
+    lo = jnp.minimum(q, idx)
+    hi = jnp.maximum(q, idx)
+    sentinel = jnp.int32(n * n)
+    key = jnp.where(valid, lo * n + hi, sentinel).reshape(-1)
+    skeys = jnp.sort(key)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), skeys[1:] != skeys[:-1]]
+    )
+    uniq = first & (skeys < sentinel)
+    lo_s = skeys // n
+    hi_s = skeys % n
+    accept = uniq & gate_mask(floors, lo_s, hi_s, strict)
+    total = uniq.sum()
+    rejected = (uniq & ~accept).sum()
+    nsurv = accept.sum()
+    order = jnp.argsort(~accept, stable=True)[:M]
+    in_budget = jnp.arange(M) < jnp.minimum(nsurv, M)
+    qi = jnp.where(in_budget, lo_s[order], 0)
+    mi = jnp.where(in_budget, hi_s[order], 0)
+    return qi, mi, jnp.stack([total, rejected, nsurv])
 
 
 def _pack_verify_outputs(n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts):
@@ -151,9 +203,14 @@ class FullGatePipeline:
         encode_batch_size: int = 64,
         verify: bool = True,
         upload_chunk: int = 32,
+        survivor_budget: Optional[int] = None,
     ) -> FullGateResult:
-        import jax
-
+        """survivor_budget: when set (and the fused device path applies),
+        retrieval + dedup + floor gate + survivor compaction run entirely
+        on device with this static slot budget — zero host round-trips
+        before the single packed verify fetch. If the actual survivor count
+        overflows the budget, the exact two-phase path reruns (correctness
+        is never budget-dependent)."""
         n = len(images)
         res = FullGateResult()
         t_start = time.perf_counter()
@@ -210,6 +267,45 @@ class FullGatePipeline:
             db = jnp.asarray(self.spr.vpr.build_descriptor_matrix())
             times = jnp.asarray(self.spr.vpr.timestamps())
         res.vpr_s = time.perf_counter() - t0
+
+        # 2-4 fused) single device program chain: retrieval -> dedup ->
+        # floor gate -> compaction -> bucketed verify, one blocking fetch
+        if (
+            survivor_budget is not None
+            and verify
+            and kp_all is not None
+            and encode_dev is not None
+            and n * n < 2**31
+        ):
+            t0 = time.perf_counter()
+            qi_all, mi_all, stats_vec = _gate_compact(
+                db,
+                times,
+                jnp.asarray(np.asarray(floor_labels, np.int32)),
+                k=min(self.top_k, n),
+                M=int(min(survivor_budget, n * min(self.top_k, n))),
+                threshold=float(self.similarity_threshold),
+                min_time_gap=float(self.min_time_gap),
+                strict=bool(self.strict_floor),
+            )
+            H, W = int(images.shape[1]), int(images.shape[2])
+            out = self._verify_compacted(
+                self.verifier.matcher, kp_all, qi_all, mi_all, stats_vec,
+                K, (H, W),
+            )
+            if out is not None:
+                results, total, rejected, nsurv = out
+                res.total_pairs = total
+                res.cross_floor_rejected = rejected
+                res.results = results
+                res.verified = len(results)
+                res.geometrically_valid = sum(
+                    1 for r in results if r.is_valid
+                )
+                res.verify_s = time.perf_counter() - t0
+                res.elapsed_s = time.perf_counter() - t_start
+                return res
+            # budget overflow: rerun through the exact two-phase path
 
         # 2) retrieval
         t0 = time.perf_counter()
@@ -308,6 +404,104 @@ class FullGatePipeline:
             lambda *xs: jnp.concatenate(xs, axis=0), *kps
         )
 
+    def _get_fused(self, matcher, hw, K):
+        fused_key = (hw, float(np.asarray(K)[0, 0]), "match_only")
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if fused_key not in cache:
+            cache[fused_key] = matcher.make_fused_match_verify(
+                hw, K, self.verifier.ransac_threshold
+            )
+        return cache[fused_key]
+
+    @staticmethod
+    def _bucket_sizes(n_pairs: int, B: int) -> List[int]:
+        """Greedy power-of-2 buckets (>= 64): a 411-pair workload runs as
+        256+128+64 = 448 slots instead of 256+256 = 512 (matcher time
+        scales with slots; the jit cache bounds compile count to
+        log2(B/64)+1 bucket shapes)."""
+        sizes: List[int] = []
+        rem = n_pairs
+        while rem > 0:
+            if rem >= B:
+                take = B
+            else:
+                take = 64
+                while take * 2 <= rem:
+                    take *= 2
+            sizes.append(take)
+            rem -= min(take, rem)
+        return sizes
+
+    def _verify_compacted(
+        self,
+        matcher,
+        kp_all,
+        qi_all,  # (M,) device int32 compacted survivor endpoints
+        mi_all,
+        stats_vec,  # (3,) device [total, rejected, n_survivors]
+        K: np.ndarray,
+        hw,
+    ):
+        """Verify device-compacted survivors: bucketed fused match+RANSAC
+        over the M budget slots, everything (endpoints, outputs, gate
+        stats) packed into one (M+1, 32) f32 array for a single blocking
+        fetch. Returns None on budget overflow (caller reruns exact)."""
+        fused = self._get_fused(matcher, hw, K)
+        M = int(qi_all.shape[0])
+        packed = []
+        s = 0
+        for size in self._bucket_sizes(M, self.verify_batch):
+            qi = qi_all[s : s + size]
+            mi = mi_all[s : s + size]
+            out = fused(matcher.params, kp_all, qi, mi, jax.random.PRNGKey(s))
+            packed.append(
+                jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [
+                                qi.astype(jnp.float32),
+                                mi.astype(jnp.float32),
+                            ],
+                            axis=1,
+                        ),
+                        _pack_verify_outputs(*out),
+                    ],
+                    axis=1,
+                )
+            )
+            s += size
+        stats_row = jnp.concatenate(
+            [stats_vec.astype(jnp.float32), jnp.zeros(29, jnp.float32)]
+        )[None]
+        flat = np.asarray(
+            jnp.concatenate(packed + [stats_row], axis=0)
+        )  # ONE fetch
+        total, rejected, nsurv = (int(v) for v in flat[-1, :3])
+        if nsurv > M:
+            return None
+        from mlis_tpu.gating.verification import _invalid_result
+
+        results: List[MatchResult] = []
+        for p in range(nsurv):
+            row = flat[p]
+            q, m = int(row[0]), int(row[1])
+            n_match = int(row[4])
+            if n_match < 5:
+                results.append(_invalid_result(q, m))
+                continue
+            results.append(
+                self.verifier._result_from_counts(
+                    q, m,
+                    int(row[2]), int(row[3]), n_match,
+                    int(row[5]), float(row[6]),
+                    row[16:32].reshape(4, 4),
+                    row[7:16].reshape(3, 3),
+                )
+            )
+        return results, total, rejected, nsurv
+
     def _verify_detect_once(
         self,
         matcher,
@@ -323,34 +517,10 @@ class FullGatePipeline:
         H, W = int(images.shape[1]), int(images.shape[2])
         hw = (H, W)
 
-        fused_key = (hw, float(np.asarray(K)[0, 0]), "match_only")
-        cache = getattr(self, "_fused_cache", None)
-        if cache is None:
-            cache = self._fused_cache = {}
-        if fused_key not in cache:
-            cache[fused_key] = matcher.make_fused_match_verify(
-                hw, K, self.verifier.ransac_threshold
-            )
-        fused = cache[fused_key]
+        fused = self._get_fused(matcher, hw, K)
 
         results: List[MatchResult] = []
-        B = self.verify_batch
-        n_pairs = len(survivors)
-        # greedy power-of-2 buckets (>= 64): a 411-pair workload runs as
-        # 256+128+64 = 448 slots instead of 256+256 = 512 (matcher time
-        # scales with slots; the jit cache bounds compile count to
-        # log2(B/64)+1 bucket shapes)
-        sizes: List[int] = []
-        rem = n_pairs
-        while rem > 0:
-            if rem >= B:
-                take = B
-            else:
-                take = 64
-                while take * 2 <= rem:
-                    take *= 2
-            sizes.append(take)
-            rem -= min(take, rem)
+        sizes = self._bucket_sizes(len(survivors), self.verify_batch)
         # dispatch all chunks asynchronously; pack every bucket's outputs
         # into ONE device-side (B_total, 30) f32 array so the host pays a
         # single fetch round-trip (each blocking np.asarray costs a full

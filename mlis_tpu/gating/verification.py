@@ -142,6 +142,10 @@ def _build_matcher(matcher_type: str, **kwargs):
         from mlis_tpu.models.loftr import LoFTR
 
         return LoFTR(**kwargs)
+    if m == "orb":
+        from mlis_tpu.models.orb import ORBMatcher
+
+        return ORBMatcher(**kwargs)
     raise ValueError(f"Unknown matcher: {matcher_type}")
 
 

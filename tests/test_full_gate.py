@@ -146,6 +146,69 @@ def test_preprocess_imagenet_mono_replication():
     np.testing.assert_allclose(out_m, out_m1, atol=1e-6)
 
 
+class _DeviceEncoder(_PatchEncoder):
+    """Patch encoder exposing the device-resident entry point, so the
+    fused (survivor_budget) gate path activates."""
+
+    def encode_batch_device(self, images):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.encode_batch(np.asarray(images)))
+
+
+class _DeviceVPR(BasePlaceRecognition):
+    def __init__(self):
+        super().__init__(descriptor_dim=110, encoder=_DeviceEncoder())
+
+    def encode_batch_device(self, images):
+        return self.encoder.encode_batch_device(images)
+
+
+def _device_pipeline():
+    spr = SemanticPlaceRecognition(
+        vpr_method=_DeviceVPR(), similarity_threshold=0.9, min_time_gap=10.0
+    )
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+        matcher_cfg=MatcherConfig.tiny_test(),
+    )
+    return FullGatePipeline(
+        vpr=spr,
+        verifier=GeometricVerifier(matcher=lg),
+        similarity_threshold=0.9,
+        verify_batch=8,
+    )
+
+
+def test_full_gate_fused_budget_matches_two_phase(rng):
+    """The device-compacted (survivor_budget) path must produce the same
+    stats and per-pair decisions as the exact two-phase path, and fall
+    back exactly when the budget overflows."""
+    n = 16
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 8 + [2] * 8)
+    K = K_CAM
+
+    pipe = _device_pipeline()
+    ref = pipe.process(images, times, floors, K)
+    assert ref.total_pairs > 0 and ref.verified > 0
+
+    fused = pipe.process(images, times, floors, K, survivor_budget=64)
+    assert fused.total_pairs == ref.total_pairs
+    assert fused.cross_floor_rejected == ref.cross_floor_rejected
+    assert fused.verified == ref.verified
+    for a, b in zip(fused.results, ref.results):
+        assert (a.query_idx, a.match_idx) == (b.query_idx, b.match_idx)
+        assert a.num_matches == b.num_matches
+        assert a.is_valid == b.is_valid
+
+    # overflow: budget below the survivor count must rerun the exact path
+    tiny = pipe.process(images, times, floors, K, survivor_budget=1)
+    assert tiny.total_pairs == ref.total_pairs
+    assert tiny.verified == ref.verified
+
+
 def test_full_gate_from_config():
     from mlis_tpu.config import PipelineConfig
 
