@@ -84,6 +84,30 @@ def _cmd_calib(args) -> int:
         print(f"Calibration file: {args.cameras}")
         print(cal.calibration_info(cams))
         return 0
+    if args.format == "generate":
+        # one-shot config generation for every algorithm (reference
+        # utils/generate_configs.py behavior)
+        if not (args.cam_imu and args.imu):
+            print("--cam-imu and --imu are required for generate", file=sys.stderr)
+            return 2
+        outdir = Path(args.output or "./configs")
+        outdir.mkdir(parents=True, exist_ok=True)
+        T = cal.load_camera_imu_calib(args.cam_imu)
+        imu = cal.load_imu_params(args.imu)
+        cal.convert_to_orbslam3(
+            cams, args.left, args.right, output_path=outdir / "orbslam3.yaml"
+        )
+        cal.convert_to_vins_fusion(
+            cams, T, imu, args.left, args.right,
+            output_path=outdir / "vins_fusion.yaml",
+        )
+        cal.convert_to_basalt(
+            cams, T, imu, args.left, args.right,
+            output_path=outdir / "basalt.json",
+        )
+        cal.convert_to_lego_loam(output_path=outdir / "lego_loam.yaml")
+        print(f"4 configs -> {outdir}")
+        return 0
     if args.format == "orbslam3":
         out = cal.convert_to_orbslam3(
             cams, args.left, args.right, output_path=args.output
@@ -135,6 +159,18 @@ def _cmd_bag(args) -> int:
             for r in tum:
                 f.write(f"{r[0]:.6f} " + " ".join(f"{v:.9f}" for v in r[1:]) + "\n")
         print(f"wrote {len(tum)} poses to {out}")
+    elif args.action == "imu-plot":
+        # the reference's transit diagnostic (extract_imu_transit.py):
+        # extract IMU, detect elevator rides, emit the annotated figure
+        from mlis_tpu.gating.floor_detector import IMUFloorDetector
+        from mlis_tpu.viz.figures import plot_elevator_detection
+
+        t, a, _ = extract_imu(args.bag, args.topic or "/vectornav/imu")
+        det = IMUFloorDetector()
+        events = det.detect_elevator_events(t, a[:, 0], a[:, 1], a[:, 2])
+        out = args.output or "imu_elevator_detection.png"
+        plot_elevator_detection(t, a[:, 2], events, out)
+        print(f"{len(events)} elevator event(s); figure -> {out}")
     return 0
 
 
@@ -285,7 +321,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("calib", help="calibration conversion")
     p.add_argument(
         "format",
-        choices=["orbslam3", "vins", "basalt", "lego-loam", "info", "sample"],
+        choices=[
+            "orbslam3", "vins", "basalt", "lego-loam",
+            "info", "sample", "generate",
+        ],
     )
     p.add_argument("--cameras", required=False)
     p.add_argument("--cam-imu")
@@ -295,7 +334,7 @@ def main(argv=None) -> int:
     p.add_argument("--output")
 
     p = sub.add_parser("bag", help="bag utilities")
-    p.add_argument("action", choices=["info", "imu-csv", "odom-tum"])
+    p.add_argument("action", choices=["info", "imu-csv", "odom-tum", "imu-plot"])
     p.add_argument("bag")
     p.add_argument("--topic")
     p.add_argument("--output")

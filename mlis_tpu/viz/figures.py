@@ -500,6 +500,49 @@ def export_interactive_3d_html(
     return path
 
 
+def plot_elevator_detection(
+    timestamps: np.ndarray,
+    accel_z: np.ndarray,
+    events,  # sequence of ElevatorEvent (gating/floor_detector.py)
+    path: str | Path,
+    title: str = "IMU elevator detection",
+) -> Path:
+    """Z-acceleration trace with detected elevator rides shaded and
+    direction-annotated (the reference's transit diagnostic figure,
+    semantic/extract_imu_transit.py plot_elevator_detection)."""
+    t = np.asarray(timestamps, dtype=np.float64)
+    t_rel = t - t[0]
+    fig, ax = plt.subplots(figsize=(12, 5))
+    ax.plot(t_rel, np.asarray(accel_z), linewidth=0.6, color="tab:blue",
+            label="accel z")
+    for ev in events:
+        a, b = ev.start_time - t[0], ev.end_time - t[0]
+        up = ev.direction == "up"
+        ax.axvspan(a, b, alpha=0.25, color="tab:green" if up else "tab:red")
+        ax.annotate(
+            ("↑" if up else "↓") + f" {ev.duration:.1f}s",
+            xy=((a + b) / 2, ax.get_ylim()[1]),
+            ha="center", va="top", fontsize=10,
+        )
+    ax.set_xlabel("Time (s)")
+    ax.set_ylabel("Linear acceleration z (m/s²)")
+    ax.set_title(f"{title} — {len(events)} event(s)")
+    ax.legend(
+        handles=[
+            Patch(facecolor="tab:green", alpha=0.4, label="Elevator up"),
+            Patch(facecolor="tab:red", alpha=0.4, label="Elevator down"),
+        ]
+        + ax.get_legend_handles_labels()[0],
+        loc="lower right",
+    )
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    path = Path(path)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_rejection_rates(
     rates: Dict[str, float],  # algo -> cross-floor rejection rate
     path: str | Path,

@@ -136,6 +136,76 @@ def test_cli_bag_info_and_extract(tmp_path, capsys):
     assert tum.shape == (5, 8)
 
 
+def test_cli_bag_imu_plot(tmp_path, capsys):
+    """The transit diagnostic: IMU with one injected elevator ride ->
+    annotated figure (reference semantic/extract_imu_transit.py)."""
+    from mlis_tpu.core.bag import BagWriter, encode_imu
+
+    bag = tmp_path / "transit.bag"
+    w = BagWriter(bag)
+    hz, dur = 100.0, 30.0
+    for i in range(int(hz * dur)):
+        t = 50.0 + i / hz
+        az = 9.81
+        if 10.0 <= i / hz < 13.0:  # 3 s upward acceleration bump
+            az += 0.7
+        w.write("/vectornav/imu", "sensor_msgs/Imu", t,
+                encode_imu(t, [0, 0, az], [0, 0, 0]))
+    w.close()
+
+    out = tmp_path / "transit.png"
+    rc = main(["bag", "imu-plot", str(bag), "--output", str(out)])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 1000
+    assert "elevator event(s)" in capsys.readouterr().out
+
+
+def test_cli_calib_generate_all(tmp_path, capsys):
+    """One-shot config generation for every algorithm (reference
+    utils/generate_configs.py)."""
+    import json as _json
+
+    spath = tmp_path / "cams.yaml"
+    main(["calib", "sample", "--output", str(spath)])
+    imu_chain = tmp_path / "imu_chain.yaml"
+    imu_chain.write_text(
+        yaml.dump({"cam0": {"T_cam_imu": np.eye(4).tolist()}})
+    )
+    imu_params = tmp_path / "imu.yaml"
+    imu_params.write_text(
+        yaml.dump(
+            {
+                "imu0": {
+                    "gyroscope_noise_density": 1e-4,
+                    "gyroscope_random_walk": 1e-5,
+                    "accelerometer_noise_density": 1e-3,
+                    "accelerometer_random_walk": 1e-4,
+                    "update_rate": 200.0,
+                }
+            }
+        )
+    )
+    outdir = tmp_path / "configs"
+    rc = main(
+        [
+            "calib", "generate",
+            "--cameras", str(spath),
+            "--cam-imu", str(imu_chain),
+            "--imu", str(imu_params),
+            "--left", "cam0", "--right", "cam1",
+            "--output", str(outdir),
+        ]
+    )
+    assert rc == 0
+    assert (outdir / "orbslam3.yaml").exists()
+    assert (outdir / "vins_fusion.yaml").exists()
+    assert (outdir / "lego_loam.yaml").exists()
+    basalt = _json.loads((outdir / "basalt.json").read_text())
+    assert "value0" in basalt or len(basalt) > 0
+    # missing IMU inputs is a usage error
+    assert main(["calib", "generate", "--cameras", str(spath)]) == 2
+
+
 def test_cli_no_command_shows_help(capsys):
     assert main([]) == 1
     assert "gate" in capsys.readouterr().out
