@@ -1,0 +1,124 @@
+"""Multi-chip full-gate step on the 8-device virtual CPU mesh.
+
+Validates the shard_map decomposition in parallel/sharded_gate.py:
+DP encode/detect, all-gathered retrieval, psum'd directed gate stats,
+and per-device budgeted fused verification — against single-device
+recomputations of every stage.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mlis_tpu.gating.verification import GeometricVerifier
+from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+from mlis_tpu.models.superpoint import SuperPointConfig
+from mlis_tpu.parallel.mesh import make_mesh
+from mlis_tpu.parallel.sharded_gate import sharded_full_gate_step
+
+K_CAM = np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1.0]])
+
+
+def _encode_fn(imgs):
+    """Deterministic cheap device encoder: downsampled gray pixels."""
+    x = imgs.astype(jnp.float32)
+    if x.ndim == 4:
+        x = x.mean(-1)
+    B = x.shape[0]
+    d = x[:, ::12, ::12].reshape(B, -1)
+    return d / (jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-8)
+
+
+def _scene_images(rng, n):
+    bases = [
+        np.kron(
+            rng.integers(0, 255, (15, 20, 3), dtype=np.uint8),
+            np.ones((8, 8, 1), np.uint8),
+        )[:120, :160]
+        for _ in range(4)
+    ]
+    return np.stack([bases[i % 4] for i in range(n)])
+
+
+def test_sharded_gate_matches_single_device(rng):
+    n = 16  # 2 keyframes per device on the 8-device mesh
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 8 + [2] * 8)
+    mesh = make_mesh(-1, 1)
+
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+        matcher_cfg=MatcherConfig.tiny_test(),
+    )
+    verdicts, stats = sharded_full_gate_step(
+        mesh, lg, _encode_fn, images, times, floors, K_CAM,
+        top_k=5, threshold=0.9, min_time_gap=10.0, per_device_budget=4,
+    )
+
+    # single-device reference: directed retrieval + gate semantics
+    from mlis_tpu.ops.knn import cosine_topk
+
+    desc = np.asarray(_encode_fn(jnp.asarray(images)))
+    scores, idx = map(
+        np.asarray,
+        cosine_topk(
+            jnp.asarray(desc), jnp.asarray(desc),
+            jnp.asarray(times, jnp.float32), jnp.asarray(times, jnp.float32),
+            k=5, min_time_gap=10.0,
+        ),
+    )
+    valid = np.isfinite(scores) & (scores >= 0.9)
+    accept = valid & (floors[:, None] == floors[idx])
+    assert stats["total"] == int(valid.sum())
+    assert stats["rejected"] == int((valid & ~accept).sum())
+    assert stats["accepted"] == int(accept.sum())
+    assert stats["total"] > 0 and stats["rejected"] > 0
+
+    # every budgeted slot holds an accepted same-floor pair
+    ok = verdicts["slot_valid"]
+    assert ok.shape == (8 * 4,)
+    assert ok.sum() > 0
+    for q, m in zip(verdicts["qi"][ok], verdicts["mi"][ok]):
+        assert floors[q] == floors[m]
+    # devices 0-3 hold floor-5 queries, 4-7 floor-2 (2 frames/device)
+    assert (verdicts["qi"][ok] // 2 == np.nonzero(ok)[0] // 4).all()
+
+    # fused verification outputs match the single-device fused program on
+    # the same pair list
+    fused = lg.make_fused_match_verify((120, 160), K_CAM, 3.0)
+    qi = jnp.asarray(verdicts["qi"])
+    mi = jnp.asarray(verdicts["mi"])
+    kp = lg.sp.detect(
+        __import__(
+            "mlis_tpu.ops.image", fromlist=["to_grayscale"]
+        ).to_grayscale(jnp.asarray(images), size=(120, 160))
+    )
+    import jax as _jax
+
+    outs = []
+    for dev in range(8):
+        sl = slice(dev * 4, (dev + 1) * 4)
+        out = fused(
+            lg.params, kp, qi[sl], mi[sl],
+            _jax.random.fold_in(_jax.random.PRNGKey(0), dev),
+        )
+        outs.append(out)
+    n_match_ref = np.concatenate([np.asarray(o[2]) for o in outs])
+    n_inl_ref = np.concatenate([np.asarray(o[3]) for o in outs])
+    np.testing.assert_array_equal(verdicts["n_matches"][ok], n_match_ref[ok])
+    np.testing.assert_array_equal(verdicts["n_inliers"][ok], n_inl_ref[ok])
+
+
+def test_sharded_gate_rejects_bad_shard(rng):
+    import pytest
+
+    mesh = make_mesh(-1, 1)
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=32),
+        matcher_cfg=MatcherConfig.tiny_test(),
+    )
+    with pytest.raises(ValueError, match="shard"):
+        sharded_full_gate_step(
+            mesh, lg, _encode_fn, _scene_images(rng, 12),
+            np.arange(12) * 30.0, np.ones(12, int), K_CAM,
+        )
