@@ -12,6 +12,7 @@ subcommands of one entry point (`python -m mlis_tpu <cmd>`):
              plus `info` (inspect cameras + baselines) and `sample` template
   bag        bag info / IMU / odometry-TUM extraction (bag_utils + extractors)
   bench      one-line JSON throughput benchmark
+  check-data dataset presence + bag readability validation (make check-data)
 """
 
 from __future__ import annotations
@@ -272,6 +273,7 @@ def _cmd_all(args) -> int:
     plot_paper_comparison(eval_results, figs / "paper_comparison.png")
     try:
         from mlis_tpu.core.trajectory import combine_sequences
+        from mlis_tpu.viz.figures import plot_trajectory_comparison
 
         lego = NUFRM3F(args.trajectory_root, "lego_loam")
         seqs = lego.load()
@@ -284,10 +286,56 @@ def _cmd_all(args) -> int:
             mat, floors, figs / "trajectory_3d.html",
             title="LeGO-LOAM multi-floor trajectory",
         )
+        # per-floor multi-algorithm 2D comparisons (reference
+        # evaluation/generate_figures.py:65-100)
+        by_floor: dict = {}
+        for algo in results:
+            try:
+                for name, _, traj in NUFRM3F(args.trajectory_root, algo).load():
+                    by_floor.setdefault(name, {})[algo] = traj.positions[:, :2]
+            except FileNotFoundError:
+                continue
+        for floor, trajs in by_floor.items():
+            plot_trajectory_comparison(
+                trajs, figs / f"trajectory_2d_{floor}.png",
+                title=f"{floor.replace('_', ' ').title()} - Trajectory Comparison",
+            )
     except FileNotFoundError:
         print("  (no lego_loam trajectories; overview/3D HTML skipped)")
     print(f"done; results under {out}")
     return 0
+
+
+def _cmd_check_data(args) -> int:
+    """Dataset-presence validation: per-algorithm trajectory manifests and
+    optional bag topic readability (the reference's `make check-data` +
+    bag_utils.test_bag_access:452-496)."""
+    from mlis_tpu.core.dataset import NUFRM3F
+    from mlis_tpu.eval.comprehensive import ALGORITHMS
+
+    ok = True
+    for algo in ALGORITHMS:
+        seqs = NUFRM3F(args.trajectory_root, algo).load()
+        if not seqs:
+            print(f"  [MISSING] {algo}: no trajectories under "
+                  f"{args.trajectory_root}/{algo}")
+            ok = False
+            continue
+        total = sum(len(t) for _, _, t in seqs)
+        print(f"  [ok] {algo}: {len(seqs)} sequence(s), {total:,} poses")
+    if args.bag:
+        from mlis_tpu.core.bag import BagReader
+
+        try:
+            info = BagReader(args.bag).info()
+            print(f"  [ok] bag {args.bag}:")
+            for topic, count in sorted(info["message_counts"].items()):
+                print(f"        {topic}: {count:,} msgs")
+        except Exception as e:
+            print(f"  [BAD] bag {args.bag}: {e}")
+            ok = False
+    print("check-data: " + ("PASS" if ok else "FAIL"))
+    return 0 if ok else 1
 
 
 def _cmd_bench(args) -> int:
@@ -351,6 +399,14 @@ def main(argv=None) -> int:
 
     sub.add_parser("bench", help="one-line JSON benchmark")
 
+    p = sub.add_parser(
+        "check-data",
+        help="validate dataset presence (trajectories per algorithm, "
+        "optional bag readability) — `make check-data` equivalent",
+    )
+    p.add_argument("--trajectory-root", default="/root/reference/results/trajectories")
+    p.add_argument("--bag", help="optionally smoke-test a bag's topics")
+
     p = sub.add_parser("all", help="gate + evaluate + figures (run_all equivalent)")
     p.add_argument("--trajectory-root", default="/root/reference/results/trajectories")
     p.add_argument("--output", default="./results")
@@ -372,6 +428,8 @@ def main(argv=None) -> int:
         return _cmd_bench(args)
     if args.cmd == "all":
         return _cmd_all(args)
+    if args.cmd == "check-data":
+        return _cmd_check_data(args)
     parser.print_help()
     return 1
 

@@ -147,7 +147,11 @@ class AttnLayer(nn.Module):
         else:
             # matcher-scale sequences (<= 1k x 1k): XLA's fused dense
             # attention measures ~20% faster than the Pallas kernels here
-            # (11 vs 14 ms at B=512, K=1024, H=4 on v5e — BENCH_NOTES)
+            # (11 vs 14 ms at B=512, K=1024, H=4 on v5e — BENCH_NOTES).
+            # Keep the f32 scores + jax.nn.softmax form: a hand-decomposed
+            # bf16 softmax (max/exp/f32-sum/div) measured 66% SLOWER
+            # (876 vs 528 ms full matcher) — it defeats XLA's fused
+            # softmax pattern; the dense op is already at the HBM roofline.
             s = jnp.einsum(
                 "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
             ) / (Dh**0.5)

@@ -206,6 +206,29 @@ def test_cli_calib_generate_all(tmp_path, capsys):
     assert main(["calib", "generate", "--cameras", str(spath)]) == 2
 
 
+def test_cli_check_data(tmp_path, capsys):
+    """Dataset validation: missing algorithms fail, a readable bag passes
+    (reference `make check-data` + bag_utils.test_bag_access)."""
+    from mlis_tpu.core.bag import BagWriter, encode_imu
+
+    # empty root -> every algorithm missing -> FAIL (rc 1)
+    rc = main(["check-data", "--trajectory-root", str(tmp_path)])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "MISSING" in out and "FAIL" in out
+
+    # a readable bag is reported topic-by-topic
+    bag = tmp_path / "ok.bag"
+    w = BagWriter(bag)
+    for i in range(3):
+        w.write("/vectornav/imu", "sensor_msgs/Imu", 1.0 + i,
+                encode_imu(1.0 + i, [0, 0, 9.8], [0, 0, 0]))
+    w.close()
+    rc = main(["check-data", "--trajectory-root", str(tmp_path), "--bag", str(bag)])
+    out = capsys.readouterr().out
+    assert "/vectornav/imu: 3 msgs" in out
+
+
 def test_cli_no_command_shows_help(capsys):
     assert main([]) == 1
     assert "gate" in capsys.readouterr().out
