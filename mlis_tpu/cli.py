@@ -219,7 +219,10 @@ def _cmd_fullgate(args) -> int:
     K = np.array(
         [[args.fx, 0, images.shape[2] / 2], [0, args.fx, images.shape[1] / 2], [0, 0, 1]]
     )
-    res = pipe.process(images, timestamps, floors, K)
+    res = pipe.process(
+        images, timestamps, floors, K,
+        survivor_budget=args.survivor_budget,
+    )
     print(json.dumps(res.summary(), indent=2))
     return 0
 
@@ -393,6 +396,11 @@ def main(argv=None) -> int:
     p.add_argument("--vpr", default="mixvpr")
     p.add_argument("--matcher", default="lightglue")
     p.add_argument("--similarity-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--survivor-budget", type=int, default=None,
+        help="device-compaction slot budget (zero host syncs before the "
+        "verify fetch; overflow falls back to the exact two-phase path)",
+    )
     p.add_argument("--detect-scale", type=float, default=1.0)
     p.add_argument("--rate", type=float, default=20.0)
     p.add_argument("--fx", type=float, default=400.0)

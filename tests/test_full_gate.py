@@ -208,6 +208,13 @@ def test_full_gate_fused_budget_matches_two_phase(rng):
     assert tiny.total_pairs == ref.total_pairs
     assert tiny.verified == ref.verified
 
+    # zero survivors under a budget: clean empty result, no fallback loop
+    pipe.similarity_threshold = 2.0  # nothing passes
+    empty = pipe.process(images, times, floors, K, survivor_budget=64)
+    assert empty.total_pairs == 0
+    assert empty.verified == 0 and empty.results == []
+    pipe.similarity_threshold = 0.9
+
 
 def test_full_gate_from_config():
     from mlis_tpu.config import PipelineConfig
