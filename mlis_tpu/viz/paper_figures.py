@@ -55,6 +55,93 @@ def generate_figure6(
     )
 
 
+DEFAULT_FLOOR_HEIGHTS = {
+    "1st_floor": 0.0,
+    "2nd_floor": 4.5,
+    "3rd_floor": 9.0,
+    "4th_floor": 13.5,
+    "5th_floor": 18.0,
+}
+
+
+def generate_figure6_lc_pair(
+    positions_no_lc: np.ndarray,  # (N, 3)
+    positions_with_lc: Optional[np.ndarray],  # (N, 3) or None
+    output_path: str,
+    floor_heights: Optional[Dict[str, float]] = None,
+    jump_threshold: float = 5.0,
+) -> Path:
+    """Figure 6 as the LC/no-LC trajectory PAIR (reference
+    generate_paper_figures.py:125-232): panel (a) the loop-closure-free
+    trajectory with floors correctly stacked, panel (b) the with-LC
+    trajectory where perceptual aliasing merged floors, with the inferred
+    incorrect loop-closure constraints drawn in green.
+
+    Floor segmentation is height-threshold based and the constraints come
+    from the LC/no-LC divergence detector (viz/figures.py)."""
+    import matplotlib.pyplot as plt
+
+    from mlis_tpu.viz.figures import (
+        detect_loop_closure_events,
+        segment_by_floor_height,
+    )
+
+    heights = floor_heights or DEFAULT_FLOOR_HEIGHTS
+    has_pair = positions_with_lc is not None
+    ncols = 2 if has_pair else 1
+    fig, axes = plt.subplots(
+        1, ncols, figsize=(8 * ncols, 8), subplot_kw={"projection": "3d"}
+    )
+    axes = np.atleast_1d(axes)
+    cmap = plt.cm.tab10(np.linspace(0, 1, max(len(heights), 2)))
+    colors = dict(zip(sorted(heights), cmap))
+
+    span = np.ptp(positions_no_lc, axis=0).max() / 2.0
+    mid = (positions_no_lc.max(axis=0) + positions_no_lc.min(axis=0)) / 2.0
+
+    def draw(ax, positions, title):
+        for name, mask in segment_by_floor_height(positions, heights).items():
+            p = positions[mask]
+            ax.plot(
+                p[:, 0], p[:, 1], p[:, 2],
+                color=colors.get(name, "#333333"),
+                label=name.replace("_", " "), linewidth=1.5, alpha=0.8,
+            )
+        ax.set_xlabel("X (m)")
+        ax.set_ylabel("Y (m)")
+        ax.set_zlabel("Z (m)")
+        ax.set_title(title, fontweight="bold")
+        ax.set_xlim(mid[0] - span, mid[0] + span)
+        ax.set_ylim(mid[1] - span, mid[1] + span)
+        ax.set_zlim(mid[2] - span, mid[2] + span)
+        ax.view_init(elev=25, azim=-60)
+        ax.legend(loc="upper left", fontsize=9)
+
+    draw(axes[0], positions_no_lc, "(a) Without Loop Closure")
+    if has_pair:
+        ax = axes[1]
+        draw(ax, positions_with_lc, "(b) With Loop Closure (Perceptual Aliasing)")
+        events = detect_loop_closure_events(
+            positions_with_lc, positions_no_lc, jump_threshold=jump_threshold
+        )
+        for i, j in events[:200]:
+            ax.plot(
+                [positions_with_lc[i, 0], positions_with_lc[j, 0]],
+                [positions_with_lc[i, 1], positions_with_lc[j, 1]],
+                [positions_with_lc[i, 2], positions_with_lc[j, 2]],
+                "g-", linewidth=2, alpha=0.7,
+            )
+        if events:
+            ax.plot([], [], "g-", linewidth=2, label="Incorrect Loop Closures")
+            ax.legend(loc="upper left", fontsize=9)
+
+    fig.tight_layout()
+    out = Path(output_path)
+    fig.savefig(out, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
 def generate_figure7(
     trajectory_root: str,
     output_path: str,

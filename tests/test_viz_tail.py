@@ -99,6 +99,28 @@ def test_detect_loop_closure_events():
     assert detect_loop_closure_events(base[:-1], base) == []
 
 
+def test_figure6_lc_pair(tmp_path):
+    """Figure 6 LC/no-LC pair: floors stacked correctly without LC, merged
+    with LC, inferred incorrect constraints drawn
+    (reference generate_paper_figures.py:125-232)."""
+    from mlis_tpu.viz.paper_figures import generate_figure6_lc_pair
+
+    n = 600
+    t = np.linspace(0, 6 * np.pi, n)
+    xy = np.column_stack([10 * np.cos(t), 6 * np.sin(t)])
+    z = np.repeat([0.0, 4.5, 18.0], n // 3)
+    no_lc = np.column_stack([xy, z])
+    with_lc = no_lc.copy()
+    # perceptual aliasing: the 5th-floor leg snapped down onto the 1st
+    with_lc[2 * (n // 3):, 2] = 0.3
+
+    p = generate_figure6_lc_pair(no_lc, with_lc, tmp_path / "fig6pair.png")
+    assert p.exists() and p.stat().st_size > 5000
+    # single-trajectory form (panel (a) only) also works
+    p1 = generate_figure6_lc_pair(no_lc, None, tmp_path / "fig6a.png")
+    assert p1.exists()
+
+
 def test_interactive_3d_html(tmp_path, rng):
     n = 300
     tum = np.column_stack(
