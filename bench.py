@@ -79,7 +79,7 @@ def bench_sweep() -> dict:
     }
 
 
-def bench_full_gate(n_keyframes: int = None, reps: int = 3, fullres: bool = False) -> dict:
+def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = False) -> dict:
     n_keyframes = n_keyframes or int(os.environ.get("MLIS_BENCH_KEYFRAMES", 128))
     from mlis_tpu.gating.full_gate import FullGatePipeline
     from mlis_tpu.gating.verification import GeometricVerifier
