@@ -274,12 +274,13 @@ def _cmd_all(args) -> int:
     generate_figure7(args.trajectory_root, figs / "figure7.png")
     plot_rpe_boxplot(eval_results, figs / "rpe_boxplot.png")
     plot_paper_comparison(eval_results, figs / "paper_comparison.png")
-    try:
-        from mlis_tpu.core.trajectory import combine_sequences
-        from mlis_tpu.viz.figures import plot_trajectory_comparison
+    from mlis_tpu.core.trajectory import combine_sequences
+    from mlis_tpu.viz.figures import plot_trajectory_comparison
 
-        lego = NUFRM3F(args.trajectory_root, "lego_loam")
-        seqs = lego.load()
+    # NUFRM3F.load() silently skips missing files (never raises), so gate
+    # the trajectory figures on an actually-non-empty manifest
+    seqs = NUFRM3F(args.trajectory_root, "lego_loam").load()
+    if seqs:
         plot_all_floors_overview(
             {name: traj.as_matrix() for name, _, traj in seqs},
             figs / "all_floors_overview.png",
@@ -289,22 +290,19 @@ def _cmd_all(args) -> int:
             mat, floors, figs / "trajectory_3d.html",
             title="LeGO-LOAM multi-floor trajectory",
         )
-        # per-floor multi-algorithm 2D comparisons (reference
-        # evaluation/generate_figures.py:65-100)
-        by_floor: dict = {}
-        for algo in results:
-            try:
-                for name, _, traj in NUFRM3F(args.trajectory_root, algo).load():
-                    by_floor.setdefault(name, {})[algo] = traj.positions[:, :2]
-            except FileNotFoundError:
-                continue
-        for floor, trajs in by_floor.items():
-            plot_trajectory_comparison(
-                trajs, figs / f"trajectory_2d_{floor}.png",
-                title=f"{floor.replace('_', ' ').title()} - Trajectory Comparison",
-            )
-    except FileNotFoundError:
+    else:
         print("  (no lego_loam trajectories; overview/3D HTML skipped)")
+    # per-floor multi-algorithm 2D comparisons (reference
+    # evaluation/generate_figures.py:65-100)
+    by_floor: dict = {}
+    for algo in results:
+        for name, _, traj in NUFRM3F(args.trajectory_root, algo).load():
+            by_floor.setdefault(name, {})[algo] = traj.positions[:, :2]
+    for floor, trajs in by_floor.items():
+        plot_trajectory_comparison(
+            trajs, figs / f"trajectory_2d_{floor}.png",
+            title=f"{floor.replace('_', ' ').title()} - Trajectory Comparison",
+        )
     print(f"done; results under {out}")
     return 0
 

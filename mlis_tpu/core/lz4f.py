@@ -142,6 +142,10 @@ def _py_block_decompress(src: bytes, max_size: int) -> bytes:
                 lit += b
                 if b != 255:
                     break
+        if i + lit > n:
+            # a token declaring more literals than remain is corruption —
+            # match liblz4's error behavior, never silently truncate
+            raise ValueError("corrupt LZ4 block: literal run past input end")
         dst += src[i : i + lit]
         i += lit
         if i >= n:

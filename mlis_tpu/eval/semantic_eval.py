@@ -111,17 +111,19 @@ class DynamicFilteringMetrics:
 class SemanticEvaluationResult:
     algorithm: str
     sequence: str = "all"
-    ate_rmse: float = 0.0
-    ate_mean: float = 0.0
-    ate_max: float = 0.0
+    # None = not evaluated; 0.0 is a legitimate measured value (e.g. the
+    # pseudo-ground-truth trajectory scored against itself)
+    ate_rmse: Optional[float] = None
+    ate_mean: Optional[float] = None
+    ate_max: Optional[float] = None
     loop_closure: LoopClosureMetrics = field(default_factory=LoopClosureMetrics)
     floor_detection: FloorDetectionMetrics = field(
         default_factory=FloorDetectionMetrics
     )
     dynamic_filtering: Optional[DynamicFilteringMetrics] = None
-    mean_velocity: float = 0.0
-    velocity_std: float = 0.0
-    endpoint_drift: float = 0.0
+    mean_velocity: Optional[float] = None
+    velocity_std: Optional[float] = None
+    endpoint_drift: Optional[float] = None
 
 
 # -- report parsing -------------------------------------------------------------
@@ -314,8 +316,8 @@ class SemanticEvaluator:
             "|---|---|---|---|---|",
         ]
 
-        def _m(v: float) -> str:
-            return f"{v:.3f}m" if v > 0 else "N/A"
+        def _m(v: Optional[float]) -> str:
+            return f"{v:.3f}m" if v is not None else "N/A"
 
         for algo, r in self.results.items():
             lines.append(
@@ -346,8 +348,8 @@ class SemanticEvaluator:
             "|---|---|---|",
         ]
         for algo, r in self.results.items():
-            mv = f"{r.mean_velocity:.3f}" if r.mean_velocity > 0 else "N/A"
-            vs = f"{r.velocity_std:.3f}" if r.velocity_std > 0 else "N/A"
+            mv = f"{r.mean_velocity:.3f}" if r.mean_velocity is not None else "N/A"
+            vs = f"{r.velocity_std:.3f}" if r.velocity_std is not None else "N/A"
             lines.append(f"| {algo} | {mv} | {vs} |")
 
         out = "\n".join(lines) + "\n"

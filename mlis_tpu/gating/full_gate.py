@@ -422,12 +422,13 @@ class FullGatePipeline:
         scales with slots; the jit cache bounds compile count to
         log2(B/64)+1 bucket shapes)."""
         sizes: List[int] = []
+        floor = min(64, B)  # never exceed a B configured below 64 (HBM cap)
         rem = n_pairs
         while rem > 0:
             if rem >= B:
                 take = B
             else:
-                take = 64
+                take = floor
                 while take * 2 <= rem:
                     take *= 2
             sizes.append(take)

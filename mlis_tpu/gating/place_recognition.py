@@ -272,6 +272,10 @@ class SemanticPlaceRecognition:
             rerank
             and hasattr(self.vpr, "rerank_scores_all")
             and getattr(self.vpr, "use_reranking", False)
+            # a DB populated from precomputed descriptors (add_descriptor,
+            # no images) has no patch features to correlate — degrade to
+            # un-reranked retrieval like the per-query path used to
+            and len(getattr(self.vpr, "patch_cache", ())) >= n
         )
 
         if use_rerank:

@@ -247,7 +247,11 @@ class MatcherNet(nn.Module):
 
         if cfg.assignment == "sinkhorn":
             alpha = self.param("dustbin", nn.initializers.ones, ())
-            log_p = sinkhorn_with_dustbin(sim, alpha, cfg.sinkhorn_iterations)
+            # invalid/padded slots must not receive transport mass: force
+            # their similarities to -inf so normalization routes them to
+            # the dustbin instead of diluting real matches
+            sim_m = jnp.where(m0[:, :, None] & m1[:, None, :], sim, -1e9)
+            log_p = sinkhorn_with_dustbin(sim_m, alpha, cfg.sinkhorn_iterations)
             scores = jnp.exp(log_p[:, :-1, :-1])
         else:
             # LightGlue: dual softmax * matchability sigmoids

@@ -232,10 +232,11 @@ class ORBMatcher(BaseFeatureMatcher):
     def _gray_batch(images) -> np.ndarray:
         """uint8 or float, color or mono -> (B, H, W) float32 in [0, 1]
         (BT.601 luma, BGR channel order like the reference's cv2 path)."""
+        from mlis_tpu.ops.image import BT601_BGR
+
         imgs = np.asarray(images)
         if imgs.ndim >= 3 and imgs.shape[-1] == 3:
-            w = np.asarray([0.114, 0.587, 0.299], np.float32)
-            imgs = imgs.astype(np.float32) @ w
+            imgs = imgs.astype(np.float32) @ np.asarray(BT601_BGR, np.float32)
         elif imgs.ndim >= 3 and imgs.shape[-1] == 1:
             imgs = imgs[..., 0]
         imgs = imgs.astype(np.float32)

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+# ITU-R BT.601 luma weights in BGR channel order (cv2.cvtColor convention)
+BT601_BGR = (0.114, 0.587, 0.299)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "bgr", "antialias"))
@@ -58,8 +60,7 @@ def to_grayscale(
     if x.ndim == 3:
         x = x[..., None] if x.shape[-1] not in (1, 3) else x[None]
     if x.shape[-1] == 3:
-        # BT.601 luma; channel order (B, G, R) for BGR input
-        weights = jnp.asarray([0.114, 0.587, 0.299], jnp.float32)
+        weights = jnp.asarray(BT601_BGR, jnp.float32)
         if not bgr:
             weights = weights[::-1]
         x = jnp.einsum("...c,c->...", x, weights)[..., None]

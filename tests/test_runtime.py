@@ -167,6 +167,18 @@ def test_lz4_frame_rejects_garbage():
         lz4f.decompress(b"\x00" * 16)
 
 
+def test_lz4_block_decoder_rejects_truncated_literals():
+    """A token declaring more literals than remain is corruption: the
+    pure-Python decoder must raise like liblz4, never silently truncate."""
+    from mlis_tpu.core import lz4f
+
+    # token 0xF0 = 15+ literals, extension byte 100 -> 115 literals declared,
+    # but only 4 bytes follow
+    corrupt = bytes([0xF0, 100]) + b"abcd"
+    with pytest.raises(ValueError, match="literal run"):
+        lz4f._py_block_decompress(corrupt, 1 << 20)
+
+
 @pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_bag_roundtrip(tmp_path, rng, compression):
     path = tmp_path / "test.bag"

@@ -147,6 +147,28 @@ def test_find_loop_closures_with_crica_rerank(rng, tiny_crica):
         assert m.is_valid == (fl[m.query_idx] == fl[m.match_idx])
 
 
+def test_find_loop_closures_descriptor_only_db_skips_rerank(rng, tiny_crica):
+    """A CricaVPR DB populated from precomputed descriptors (no images =>
+    no patch cache) must degrade to un-reranked retrieval, not crash on an
+    empty patch stack."""
+    tiny_crica.descriptors = []
+    tiny_crica._matrix_cache = None
+    tiny_crica.patch_cache = []
+    tiny_crica._patch_matrix = None
+    spr = SemanticPlaceRecognition(
+        vpr_method=tiny_crica, similarity_threshold=0.0, min_time_gap=10.0
+    )
+    descs = rng.standard_normal((6, 64)).astype(np.float32)
+    descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+    for i in range(6):
+        tiny_crica.add_descriptor(descs[i], i * 30.0, [5, 5, 5, 2, 2, 2][i])
+    matches = spr.find_loop_closures(enable_floor_gating=True, k=3, rerank=True)
+    assert matches  # plain cosine retrieval still works
+    for m in matches:
+        fl = [5, 5, 5, 2, 2, 2]
+        assert m.is_valid == (fl[m.query_idx] == fl[m.match_idx])
+
+
 def test_rerank_scores_all_matches_per_query_path(rng):
     """The one-dispatch across-queries rerank must score identically to the
     per-query rerank_candidates path (same math, different batching)."""
