@@ -145,19 +145,18 @@ class AttnLayer(nn.Module):
             # materializes)
             msg = flash_mha(q, k, v, kv_valid=source_valid)
         else:
-            # matcher-scale sequences (<= 1k x 1k): XLA's fused dense
-            # attention measures ~20% faster than the Pallas kernels here
-            # (11 vs 14 ms at B=512, K=1024, H=4 on v5e — BENCH_NOTES).
-            # Keep the f32 scores + jax.nn.softmax form: a hand-decomposed
-            # bf16 softmax (max/exp/f32-sum/div) measured 66% SLOWER
-            # (876 vs 528 ms full matcher) — it defeats XLA's fused
-            # softmax pattern; the dense op is already at the HBM roofline.
-            s = jnp.einsum(
-                "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
-            ) / (Dh**0.5)
-            s = jnp.where(source_valid[:, None, None, :], s, -1e30)
-            p = jax.nn.softmax(s, axis=-1)
-            msg = jnp.einsum("bhst,bthd->bshd", p.astype(v.dtype), v)
+            # matcher-scale sequences (<= 1k x 1k): XLA dense attention —
+            # measures ~20% faster than the Pallas kernels here (11 vs
+            # 14 ms/op at B=512, K=1024, H=4 on v5e) and identical to a
+            # hand-written masked-softmax einsum pair (524 vs 528 ms full
+            # matcher). A hand-decomposed bf16 softmax measured 66% SLOWER
+            # (876 ms) — the dense op is already at the HBM roofline, so
+            # let XLA own the softmax fusion. Prefix-valid masks map to
+            # key_value_seq_lengths exactly (keypoints are score-sorted).
+            kv_len = jnp.sum(source_valid, axis=-1).astype(jnp.int32)
+            msg = jax.nn.dot_product_attention(
+                q, k, v, key_value_seq_lengths=kv_len
+            )
         msg = msg.reshape(B, Kx, self.dim).astype(self.dtype)
         msg = nn.Dense(self.dim, dtype=self.dtype, name="proj")(msg)
         h = jnp.concatenate([x, msg], axis=-1)
