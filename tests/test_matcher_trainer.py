@@ -1,0 +1,90 @@
+"""Homography self-supervision for the LightGlue matcher (tiny, CPU).
+
+Validates the training geometry (DLT homographies, on-device warping, GT
+correspondence construction) and that a few training steps reduce the
+assignment loss and raise held-out match recall over random init —
+the LightGlue pretraining recipe, TPU-native.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+from mlis_tpu.models.superpoint import SuperPointConfig
+from mlis_tpu.train.matcher_trainer import (
+    MatcherTrainer,
+    apply_homography,
+    gt_assignment,
+    random_homography,
+    warp_image,
+)
+
+
+def _textures(rng, n, h, w):
+    imgs = np.kron(
+        rng.uniform(0.1, 0.9, size=(n, h // 8, w // 8)), np.ones((8, 8))
+    )[:, :h, :w]
+    return imgs.astype(np.float32)
+
+
+def test_random_homography_maps_corners_and_inverts():
+    Hm = np.asarray(random_homography(jax.random.PRNGKey(0), 64, 96))
+    assert Hm.shape == (3, 3)
+    assert Hm[2, 2] == pytest.approx(1.0)
+    # corners map within the declared jitter budget
+    corners = np.array([[0, 0], [95, 0], [95, 63], [0, 63]], float)
+    mapped = np.asarray(apply_homography(jnp.asarray(Hm), jnp.asarray(corners)))
+    assert np.all(np.abs(mapped - corners) <= 0.15 * np.array([96, 64]) + 1e-3)
+    # identity homography keeps points fixed
+    pts = np.random.default_rng(0).uniform(0, 60, (10, 2))
+    same = np.asarray(apply_homography(jnp.eye(3), jnp.asarray(pts)))
+    np.testing.assert_allclose(same, pts, atol=1e-6)
+
+
+def test_warp_image_identity_and_translation(rng):
+    img = _textures(rng, 1, 48, 64)[0]
+    out = np.asarray(warp_image(jnp.asarray(img), jnp.eye(3)))
+    np.testing.assert_allclose(out, img, atol=1e-5)
+    # pure translation by (5, 3): interior pixels shift exactly
+    T = np.eye(3)
+    T[0, 2], T[1, 2] = 5.0, 3.0
+    out = np.asarray(warp_image(jnp.asarray(img), jnp.asarray(T)))
+    np.testing.assert_allclose(out[10:40, 10:60], img[7:37, 5:55], atol=1e-4)
+
+
+def test_gt_assignment_recovers_known_matches():
+    kp0 = jnp.asarray([[10.0, 10.0], [30.0, 20.0], [50.0, 40.0], [0.0, 0.0]])
+    m0 = jnp.asarray([True, True, True, False])
+    T = jnp.asarray(np.array([[1, 0, 5], [0, 1, -2], [0, 0, 1]], float))
+    kp1 = jnp.asarray(
+        [[35.0, 18.0], [15.0, 8.0], [99.0, 99.0], [55.0, 38.0]]
+    )  # shuffled projections of kp0 (+ one outlier slot)
+    m1 = jnp.ones(4, bool)
+    gt = np.asarray(gt_assignment(kp0, m0, kp1, m1, T, threshold_px=3.0))
+    assert gt[0, 1] and gt[1, 0] and gt[2, 3]
+    assert gt.sum() == 3  # masked kp0[3] and outlier kp1[2] match nothing
+
+
+def test_matcher_training_improves_recall(rng):
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=48),
+        matcher_cfg=MatcherConfig.tiny_test(),
+    )
+    hw = (64, 96)
+    trainer = MatcherTrainer(lg, hw, learning_rate=3e-3, seed=1)
+    train_imgs = _textures(rng, 4, *hw)
+    eval_imgs = _textures(rng, 4, *hw)
+
+    recall_before = trainer.match_recall(eval_imgs)
+    losses = []
+    for _ in range(12):
+        loss, n_gt = trainer.train_batch(train_imgs)
+        losses.append(loss)
+        assert n_gt > 0  # homography pairs must produce GT correspondences
+    recall_after = trainer.match_recall(eval_imgs)
+
+    assert losses[-1] < losses[0] * 0.8  # loss drops materially
+    assert recall_after >= recall_before  # and held-out recall doesn't regress
+    assert np.isfinite(losses).all()
