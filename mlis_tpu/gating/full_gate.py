@@ -252,7 +252,15 @@ class FullGatePipeline:
         # the host. (The spr descriptor DB is not populated on this path;
         # use SemanticPlaceRecognition.add_images_batch for a persistent DB.)
         if encode_dev is not None:
-            chunks = [encode_dev(p) for p in parts]
+            # bound every encode dispatch by encode_batch_size even when the
+            # fused upload-chunking path is inactive (parts == [all frames]):
+            # one monolithic encode of a large n risks HBM exhaustion and a
+            # fresh compile per distinct n
+            chunks = [
+                encode_dev(p[s : s + encode_batch_size])
+                for p in parts
+                for s in range(0, int(p.shape[0]), encode_batch_size)
+            ]
             db = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
             times = jnp.asarray(np.asarray(timestamps, np.float32))
         else:
@@ -278,6 +286,11 @@ class FullGatePipeline:
             and n * n < 2**31
         ):
             t0 = time.perf_counter()
+            # stage attribution on the fused path: the _gate_compact
+            # DISPATCH time lands in retrieval_s; device execution is async
+            # and overlaps into verify_s (paid at the single blocking fetch
+            # inside _verify_compacted), so fused-vs-two-phase stage
+            # breakdowns are comparable only at the elapsed_s level.
             qi_all, mi_all, stats_vec = _gate_compact(
                 db,
                 times,
@@ -288,6 +301,8 @@ class FullGatePipeline:
                 min_time_gap=float(self.min_time_gap),
                 strict=bool(self.strict_floor),
             )
+            res.retrieval_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
             H, W = int(images.shape[1]), int(images.shape[2])
             out = self._verify_compacted(
                 self.verifier.matcher, kp_all, qi_all, mi_all, stats_vec,

@@ -197,8 +197,13 @@ class MatcherNet(nn.Module):
     cfg: MatcherConfig
 
     @nn.compact
-    def __call__(self, d0, c0, m0, d1, c1, m1, image_hw):
-        """d: (B, K, Dd) descriptors, c: (B, K, 2) coords, m: (B, K) masks."""
+    def __call__(self, d0, c0, m0, d1, c1, m1, image_hw, return_matchability=False):
+        """d: (B, K, Dd) descriptors, c: (B, K, 2) coords, m: (B, K) masks.
+
+        return_matchability: additionally return per-keypoint matchable
+        probabilities (mp0 (B, K0), mp1 (B, K1)) — sigmoid matchability for
+        dual-softmax, 1 - dustbin mass for sinkhorn. Used by the training
+        loss (train/matcher_trainer.py) to supervise unmatchable points."""
         cfg = self.cfg
         B = d0.shape[0]
         K0, K1 = d0.shape[1], d1.shape[1]
@@ -252,6 +257,10 @@ class MatcherNet(nn.Module):
             sim_m = jnp.where(m0[:, :, None] & m1[:, None, :], sim, -1e9)
             log_p = sinkhorn_with_dustbin(sim_m, alpha, cfg.sinkhorn_iterations)
             scores = jnp.exp(log_p[:, :-1, :-1])
+            if return_matchability:
+                mp0 = 1.0 - jnp.exp(log_p[:, :-1, -1])
+                mp1 = 1.0 - jnp.exp(log_p[:, -1, :-1])
+                return scores[:, :K0, :K1], mp0[:, :K0], mp1[:, :K1]
         else:
             # LightGlue: dual softmax * matchability sigmoids
             matchability = nn.Dense(1, dtype=jnp.float32, name="matchability")
@@ -261,6 +270,12 @@ class MatcherNet(nn.Module):
             sim_m = jnp.where(mask2d, sim, -1e30)
             p = jax.nn.softmax(sim_m, axis=2) * jax.nn.softmax(sim_m, axis=1)
             scores = p * jax.nn.sigmoid(z0)[:, :, None] * jax.nn.sigmoid(z1)[:, None, :]
+            if return_matchability:
+                return (
+                    scores[:, :K0, :K1],
+                    jax.nn.sigmoid(z0)[:, :K0],
+                    jax.nn.sigmoid(z1)[:, :K1],
+                )
         return scores[:, :K0, :K1]
 
 
@@ -501,6 +516,34 @@ class LightGlue(BaseFeatureMatcher):
                 "params": convert_lightglue_torch(matcher_sd, self.params["params"])
             }
             self._jit_match = {}
+
+    def save_weights(self, path: str) -> None:
+        """Ship the trained matcher AND its frozen SuperPoint front end in
+        one npz — the matcher's learned mapping is tied to the exact
+        detector filters it trained against, so they travel together."""
+        from mlis_tpu.models.weights import save_params_npz
+
+        save_params_npz(
+            path,
+            matcher=self.params["params"],
+            superpoint=self.sp.params["params"],
+        )
+
+    def load_weights(self, path: str, image_hw=(270, 360)) -> None:
+        """Load a save_weights npz (in-env trained checkpoint)."""
+        from mlis_tpu.models.weights import load_params_npz
+
+        from mlis_tpu.models.convert import _match_dtypes
+
+        trees = load_params_npz(path)
+        self.sp.init_params(image_hw)
+        self._init(self.sp.cfg.max_keypoints, self.sp.cfg.max_keypoints, image_hw)
+        if "superpoint" in trees:
+            self.sp.params = _match_dtypes(
+                {"params": trees["superpoint"]}, self.sp.params
+            )
+        self.params = _match_dtypes({"params": trees["matcher"]}, self.params)
+        self._jit_match = {}
 
     # -- reference-parity single-pair API --------------------------------------
     def detect_and_match(

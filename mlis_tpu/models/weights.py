@@ -1,0 +1,62 @@
+"""Flat-npz weight IO for flax param pytrees.
+
+The reference ships pretrained torch checkpoints baked into its Docker
+images (Dockerfile.semantic-tools:71-101). In this zero-egress
+environment the repo trains its own weights in-env
+(train/matcher_trainer.py, train/trainer.py) and ships them as a single
+compressed npz: nested param dicts flattened with '/'-joined keys,
+stored float16 (the models run bf16/f32-accum, so f16 storage loses
+nothing material) and restored float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def flatten_params(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            out.update(flatten_params(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_params_npz(path: str, dtype=np.float16, **trees: Any) -> None:
+    """Save named param trees (e.g. params=..., sp_params=...) to one npz.
+    Keys are '<name>:<slash/path>'. Float arrays are downcast to `dtype`."""
+    flat: Dict[str, np.ndarray] = {}
+    for name, tree in trees.items():
+        for k, v in flatten_params(tree).items():
+            if np.issubdtype(v.dtype, np.floating):
+                v = v.astype(dtype)
+            flat[f"{name}:{k}"] = v
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str) -> Dict[str, Any]:
+    """Load a save_params_npz file -> {name: param_tree} with f32 floats."""
+    with np.load(path) as z:
+        groups: Dict[str, Dict[str, np.ndarray]] = {}
+        for key in z.files:
+            name, flat_key = key.split(":", 1)
+            v = z[key]
+            if np.issubdtype(v.dtype, np.floating):
+                v = v.astype(np.float32)
+            groups.setdefault(name, {})[flat_key] = v
+    return {name: unflatten_params(flat) for name, flat in groups.items()}

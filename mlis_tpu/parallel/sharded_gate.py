@@ -75,8 +75,11 @@ def sharded_full_gate_step(
     # initialize the detector OUTSIDE the traced program (lazy init inside
     # shard_map would leak tracers into the param cache)
     matcher.sp.init_params((h8, w8))
-    B = int(per_device_budget)
     kk = min(top_k, N)
+    # clamp: each device's candidate pool is shard * kk entries, so a
+    # larger budget would make lax.top_k fail with an opaque XLA error
+    # (slot_valid already marks unused slots, so shrinking is safe)
+    B = min(int(per_device_budget), shard * kk)
 
     def local(imgs, t_loc, fl_loc, t_all, fl_all):
         # encode + detect: device-local keyframe slab

@@ -69,7 +69,11 @@ def apply_homography(Hm: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 
 def warp_image(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
     """(H, W) image warped by Hm (inverse-map bilinear gather: output
-    pixel p samples the source at H^-1 p)."""
+    pixel p samples the source at H^-1 p). Output pixels whose source
+    coordinate falls outside the image are ZERO-filled — border
+    replication would paint streaked fake texture there, SuperPoint would
+    detect keypoints on it, and gt_assignment would mint false
+    'ground-truth' correspondences near borders (label noise)."""
     H, W = img.shape
     Hinv = jnp.linalg.inv(Hm)
     yy, xx = jnp.meshgrid(
@@ -79,6 +83,12 @@ def warp_image(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
     )
     grid = jnp.stack([xx.ravel(), yy.ravel()], axis=-1)  # (HW, 2) xy
     src = apply_homography(Hinv, grid)
+    in_view = (
+        (src[:, 0] >= 0.0)
+        & (src[:, 0] <= W - 1)
+        & (src[:, 1] >= 0.0)
+        & (src[:, 1] <= H - 1)
+    )
     sx = jnp.clip(src[:, 0], 0.0, W - 1.001)
     sy = jnp.clip(src[:, 1], 0.0, H - 1.001)
     x0 = jnp.floor(sx).astype(jnp.int32)
@@ -96,7 +106,7 @@ def warp_image(img: jnp.ndarray, Hm: jnp.ndarray) -> jnp.ndarray:
         + at(y0 + 1, x0) * (1 - fx) * fy
         + at(y0 + 1, x0 + 1) * fx * fy
     )
-    return out.reshape(H, W)
+    return jnp.where(in_view, out, 0.0).reshape(H, W)
 
 
 def gt_assignment(
@@ -106,12 +116,24 @@ def gt_assignment(
     m1: jnp.ndarray,
     Hm: jnp.ndarray,
     threshold_px: float = 3.0,
+    image_hw: Tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """(K, K) bool ground-truth matches: H-projected kp0 within threshold
-    of kp1, mutual nearest, both valid."""
+    of kp1, mutual nearest, both valid. When image_hw is given, kp0 whose
+    projection lands outside the valid image region are excluded (their
+    true correspondence is unobservable in the warped view)."""
     proj = apply_homography(Hm, kp0)
+    v0 = m0
+    if image_hw is not None:
+        Hh, Ww = image_hw
+        v0 = v0 & (
+            (proj[:, 0] >= 0.0)
+            & (proj[:, 0] <= Ww - 1)
+            & (proj[:, 1] >= 0.0)
+            & (proj[:, 1] <= Hh - 1)
+        )
     d = jnp.linalg.norm(proj[:, None, :] - kp1[None, :, :], axis=-1)
-    d = jnp.where(m0[:, None] & m1[None, :], d, jnp.inf)
+    d = jnp.where(v0[:, None] & m1[None, :], d, jnp.inf)
     nn0 = jnp.argmin(d, axis=1)
     nn1 = jnp.argmin(d, axis=0)
     K = kp0.shape[0]
@@ -125,14 +147,58 @@ def gt_assignment(
 def matcher_loss(
     scores: jnp.ndarray,  # (B, K, K) assignment scores in [0, 1]
     gt: jnp.ndarray,  # (B, K, K) bool
+    m0: jnp.ndarray = None,  # (B, K) valid kpts in image0
+    m1: jnp.ndarray = None,
+    mp0: jnp.ndarray = None,  # (B, K) matchable probabilities
+    mp1: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Negative log-likelihood of the ground-truth assignment under the
-    dual-softmax scores (LightGlue's correspondence loss, simplified: the
-    matchability factors ride inside `scores` already)."""
+    """LightGlue's training loss: NLL of the ground-truth assignment under
+    the dual-softmax scores, plus (when matchability probabilities are
+    given) a BCE pushing matchability DOWN for valid keypoints with no
+    ground-truth correspondence — without it the sigmoid gates saturate at
+    1 and every spurious mutual-argmax passes the match threshold
+    (precision collapse; the paper's eq. 8 negative term)."""
     eps = 1e-6
     pos = -jnp.log(scores + eps) * gt
     n_pos = jnp.maximum(gt.sum(), 1)
-    return pos.sum() / n_pos
+    loss = pos.sum() / n_pos
+    if mp0 is not None:
+        un0 = m0 & ~gt.any(axis=2)
+        un1 = m1 & ~gt.any(axis=1)
+        neg0 = -jnp.log1p(-jnp.clip(mp0, 0.0, 1.0 - eps)) * un0
+        neg1 = -jnp.log1p(-jnp.clip(mp1, 0.0, 1.0 - eps)) * un1
+        loss = loss + 0.5 * (
+            neg0.sum() / jnp.maximum(un0.sum(), 1)
+            + neg1.sum() / jnp.maximum(un1.sum(), 1)
+        )
+    return loss
+
+
+def synthetic_textures(key, n: int, H: int, W: int) -> jnp.ndarray:
+    """(n, H, W) float [0,1] procedural training images, generated ON
+    DEVICE (zero host->device upload in the training loop — the TPU here
+    sits behind a ~22 MB/s tunnel). Multi-scale block noise gives hard
+    edges and corners at several frequencies — what SuperPoint's detector
+    responds to — plus a random low-frequency illumination ramp."""
+    k1, k2 = jax.random.split(key)
+    scale_keys = jax.random.split(k1, 4)
+    img = jnp.zeros((n, H, W))
+    total = 0.0
+    for i, s in enumerate((8, 16, 32, 64)):
+        g = jax.random.uniform(
+            scale_keys[i], (n, H // s + 1, W // s + 1)
+        )
+        up = jnp.repeat(jnp.repeat(g, s, axis=1), s, axis=2)[:, :H, :W]
+        w = 0.55**i
+        img = img + w * up
+        total += w
+    img = img / total
+    # illumination ramp (keeps the matcher from keying on absolute value)
+    gk = jax.random.normal(k2, (n, 2)) * 0.15
+    yy = jnp.linspace(-1, 1, H)[None, :, None]
+    xx = jnp.linspace(-1, 1, W)[None, None, :]
+    ramp = gk[:, 0, None, None] * yy + gk[:, 1, None, None] * xx
+    return jnp.clip(img + ramp, 0.0, 1.0)
 
 
 class MatcherTrainer:
@@ -146,16 +212,19 @@ class MatcherTrainer:
         self,
         matcher,  # models.lightglue.LightGlue
         image_hw: Tuple[int, int],
-        learning_rate: float = 1e-4,
+        learning_rate=1e-4,  # float or optax schedule
         threshold_px: float = 3.0,
         max_corner_jitter: float = 0.15,
         seed: int = 0,
+        optimizer: optax.GradientTransformation | None = None,
     ):
         self.matcher = matcher
         self.image_hw = (int(image_hw[0]), int(image_hw[1]))
         self.threshold_px = float(threshold_px)
         self.max_corner_jitter = float(max_corner_jitter)
-        self.optimizer = optax.adam(learning_rate)
+        self.optimizer = optimizer or optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(learning_rate)
+        )
         matcher._init(
             matcher.sp.cfg.max_keypoints, matcher.sp.cfg.max_keypoints,
             self.image_hw,
@@ -164,8 +233,13 @@ class MatcherTrainer:
         self.opt_state = self.optimizer.init(matcher.params)
         self._key = jax.random.PRNGKey(seed)
         self._step = None
+        self._chunk = {}
 
-    def _build_step(self):
+    def _make_step_fn(self):
+        """Pure (m_params, opt_state, images, key) -> (params, opt, loss,
+        n_gt): homography pair synthesis + frozen detection + matcher
+        fwd/bwd + optimizer update. Shared by the per-batch jit path and
+        the scanned multi-step chunk path."""
         from mlis_tpu.models.superpoint import (
             Keypoints,
             nms_heatmap,
@@ -202,18 +276,22 @@ class MatcherTrainer:
             kp1 = jax.lax.stop_gradient(detect(warped))
             gt = jax.vmap(
                 lambda c0, v0, c1, v1, Hm: gt_assignment(
-                    c0, v0, c1, v1, Hm, thr
+                    c0, v0, c1, v1, Hm, thr, image_hw=hw
                 )
             )(kp0.coords, kp0.mask, kp1.coords, kp1.mask, Hms)
 
             def loss_fn(p):
-                scores = matcher.net.apply(
+                scores, mp0, mp1 = matcher.net.apply(
                     p,
                     kp0.descriptors, kp0.coords, kp0.mask,
                     kp1.descriptors, kp1.coords, kp1.mask,
                     hw,
+                    return_matchability=True,
                 )
-                return matcher_loss(scores, gt), gt.sum()
+                return (
+                    matcher_loss(scores, gt, kp0.mask, kp1.mask, mp0, mp1),
+                    gt.sum(),
+                )
 
             (loss, n_gt), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -222,13 +300,13 @@ class MatcherTrainer:
             m_params = optax.apply_updates(m_params, updates)
             return m_params, opt_state, loss, n_gt
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return step
 
     def train_batch(self, images: np.ndarray) -> Tuple[float, int]:
         """One step on a (B, H, W) float [0,1] grayscale batch.
         Returns (loss, number of GT correspondences in the batch)."""
         if self._step is None:
-            self._step = self._build_step()
+            self._step = jax.jit(self._make_step_fn(), donate_argnums=(0, 1))
         self._key, sub = jax.random.split(self._key)
         params, self.opt_state, loss, n_gt = self._step(
             self.matcher.params, self.opt_state, jnp.asarray(images), sub
@@ -236,11 +314,49 @@ class MatcherTrainer:
         self.matcher.params = params
         return float(loss), int(n_gt)
 
-    def match_recall(self, images: np.ndarray, key=None) -> float:
-        """Held-out diagnostic: fraction of GT correspondences the current
-        matcher recovers on fresh homography pairs."""
-        from mlis_tpu.models.lightglue import extract_matches
+    def train_chunk(self, steps: int, batch_size: int = 8) -> np.ndarray:
+        """Run `steps` training steps as ONE device dispatch (lax.scan),
+        with images generated on device (synthetic_textures). Returns the
+        (steps,) loss trace. Through a high-RTT tunnel this amortizes the
+        per-dispatch round trip over the whole chunk."""
+        key_shape = (steps, batch_size)
+        if key_shape not in self._chunk:
+            step_fn = self._make_step_fn()
+            H, W = self.image_hw
 
+            def chunk(m_params, opt_state, key):
+                def body(carry, i):
+                    p, o = carry
+                    k = jax.random.fold_in(key, i)
+                    k_img, k_step = jax.random.split(k)
+                    images = synthetic_textures(k_img, batch_size, H, W)
+                    p, o, loss, n_gt = step_fn(p, o, images, k_step)
+                    return (p, o), loss
+
+                (p, o), losses = jax.lax.scan(
+                    body, (m_params, opt_state), jnp.arange(steps)
+                )
+                return p, o, losses
+
+            self._chunk[key_shape] = jax.jit(chunk, donate_argnums=(0, 1))
+        self._key, sub = jax.random.split(self._key)
+        params, self.opt_state, losses = self._chunk[key_shape](
+            self.matcher.params, self.opt_state, sub
+        )
+        self.matcher.params = params
+        return np.asarray(losses)
+
+    def save_checkpoint(self, path: str) -> None:
+        """Ship matcher + frozen SuperPoint weights as one npz."""
+        self.matcher.save_weights(path)
+
+    def match_recall(self, images: np.ndarray, key=None) -> float:
+        return self.match_metrics(images, key)["recall"]
+
+    def match_metrics(self, images: np.ndarray, key=None) -> dict:
+        """Held-out diagnostics on fresh homography pairs:
+        recall = fraction of GT correspondences recovered,
+        precision = fraction of predicted matches that are GT."""
         key = key if key is not None else jax.random.PRNGKey(999)
         H, W = self.image_hw
         imgs = jnp.asarray(images)
@@ -254,7 +370,8 @@ class MatcherTrainer:
         kp1 = self.matcher.sp.detect(warped[..., None])
         gt = jax.vmap(
             lambda c0, v0, c1, v1, Hm: gt_assignment(
-                c0, v0, c1, v1, Hm, self.threshold_px
+                c0, v0, c1, v1, Hm, self.threshold_px,
+                image_hw=self.image_hw,
             )
         )(kp0.coords, kp0.mask, kp1.coords, kp1.mask, Hms)
         matches = self.matcher.match_keypoints(kp0, kp1, self.image_hw)
@@ -267,4 +384,10 @@ class MatcherTrainer:
         )(pred, idx, matches.valid)
         hits = (pred & gt).sum()
         total = jnp.maximum(gt.sum(), 1)
-        return float(hits / total)
+        n_pred = jnp.maximum(pred.sum(), 1)
+        return {
+            "recall": float(hits / total),
+            "precision": float(hits / n_pred),
+            "n_gt": int(gt.sum()),
+            "n_pred": int(pred.sum()),
+        }

@@ -1,0 +1,166 @@
+"""Full-size LightGlue homography pretraining driver.
+
+Reproduces the official LightGlue pretraining stage (synthetic
+homographies of single images; the reference consumes the resulting
+torch-hub checkpoint, geometric_verification.py:216-242) entirely in-env
+on one TPU chip:
+
+  * images: procedural multi-scale block-noise textures generated ON
+    DEVICE (synthetic_textures) — zero upload through the TPU tunnel;
+  * steps run in scanned chunks (MatcherTrainer.train_chunk): one device
+    dispatch per `--chunk` steps;
+  * LR: linear warmup + cosine decay (BENCH_NOTES round-2: fixed-LR
+    convergence is schedule-sensitive);
+  * held-out match recall/precision every `--eval-every` steps on fresh
+    homography pairs; best-recall checkpoint + periodic checkpoints to
+    --out (npz: matcher + frozen SuperPoint weights together).
+
+Run: python -m mlis_tpu.train.pretrain_matcher --steps 6000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+
+
+def main(argv=None) -> dict:
+    # sitecustomize pins jax_platforms=axon,cpu in every process; honour an
+    # explicit JAX_PLATFORMS=cpu request (CPU smoke tests) the documented way
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--kpts", type=int, default=512)
+    ap.add_argument("--height", type=int, default=270)
+    ap.add_argument("--width", type=int, default=360)
+    ap.add_argument("--peak-lr", type=float, default=2e-4)
+    ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--eval-every", type=int, default=200)
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--eval-batch", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--out", default="checkpoints/lightglue_homog.npz",
+        help="checkpoint path (best held-out recall)",
+    )
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="tiny model + small images (CPU smoke test of the driver)",
+    )
+    args = ap.parse_args(argv)
+    if args.tiny:
+        args.kpts, args.height, args.width = 48, 64, 96
+        args.eval_batch = 4
+
+    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+    from mlis_tpu.models.superpoint import SuperPointConfig
+    from mlis_tpu.train.matcher_trainer import MatcherTrainer, synthetic_textures
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    log_path = out.with_name(out.stem + "_log.json")
+
+    # seed 0 everywhere: bench.py / FullGatePipeline build LightGlue with
+    # the default seed, so the frozen SuperPoint filters in the checkpoint
+    # match what an unadorned LightGlue() would initialize (the npz ships
+    # them regardless, so this is belt-and-braces).
+    lg = LightGlue(
+        sp_cfg=(
+            SuperPointConfig.tiny_test(max_keypoints=args.kpts)
+            if args.tiny
+            else SuperPointConfig(max_keypoints=args.kpts)
+        ),
+        matcher_cfg=(
+            MatcherConfig.tiny_test() if args.tiny else MatcherConfig.lightglue()
+        ),
+        seed=args.seed,
+    )
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=args.peak_lr,
+        warmup_steps=args.warmup,
+        decay_steps=args.steps,
+        end_value=1e-6,
+    )
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(schedule)
+    )
+    trainer = MatcherTrainer(
+        lg, (args.height, args.width), optimizer=optimizer, seed=args.seed
+    )
+
+    # fixed held-out textures (key disjoint from the training stream,
+    # which folds from trainer._key seeded with args.seed)
+    eval_imgs = np.asarray(
+        synthetic_textures(
+            jax.random.PRNGKey(10_000 + args.seed),
+            args.eval_batch, args.height, args.width,
+        )
+    )
+
+    history = {
+        "config": {k: getattr(args, k.replace("-", "_")) for k in (
+            "steps", "chunk", "batch", "kpts", "height", "width",
+            "peak_lr", "warmup", "seed",
+        )},
+        "loss": [],  # (step, mean chunk loss)
+        "eval": [],  # (step, recall, precision)
+    }
+
+    m0 = trainer.match_metrics(eval_imgs)
+    print(f"step 0: recall={m0['recall']:.4f} precision={m0['precision']:.4f} "
+          f"n_gt={m0['n_gt']} n_pred={m0['n_pred']}", flush=True)
+    history["eval"].append((0, m0["recall"], m0["precision"]))
+    best_recall = m0["recall"]
+    saved_best = False
+
+    done = 0
+    t0 = time.time()
+    next_eval = args.eval_every
+    next_save = args.save_every
+    while done < args.steps:
+        n = min(args.chunk, args.steps - done)
+        losses = trainer.train_chunk(n, batch_size=args.batch)
+        done += n
+        history["loss"].append((done, float(losses.mean())))
+        rate = done / (time.time() - t0)
+        print(f"step {done}/{args.steps}: loss={losses.mean():.4f} "
+              f"(last {losses[-1]:.4f}) {rate:.2f} steps/s", flush=True)
+        if done >= next_eval or done >= args.steps:
+            next_eval += args.eval_every
+            m = trainer.match_metrics(eval_imgs)
+            history["eval"].append((done, m["recall"], m["precision"]))
+            print(f"  eval@{done}: recall={m['recall']:.4f} "
+                  f"precision={m['precision']:.4f} n_pred={m['n_pred']}",
+                  flush=True)
+            if m["recall"] > best_recall or not saved_best:
+                best_recall = max(best_recall, m["recall"])
+                trainer.save_checkpoint(str(out))
+                saved_best = True
+                print(f"  saved best checkpoint (recall {best_recall:.4f})",
+                      flush=True)
+        if done >= next_save:
+            next_save += args.save_every
+            trainer.save_checkpoint(str(out.with_suffix(".latest.npz")))
+        log_path.write_text(json.dumps(history))
+
+    history["best_recall"] = best_recall
+    history["wall_s"] = time.time() - t0
+    log_path.write_text(json.dumps(history))
+    print(f"done: best held-out recall {best_recall:.4f} "
+          f"in {history['wall_s']:.0f}s", flush=True)
+    return history
+
+
+if __name__ == "__main__":
+    main()

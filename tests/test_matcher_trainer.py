@@ -78,13 +78,14 @@ def test_matcher_training_improves_recall(rng):
     eval_imgs = _textures(rng, 4, *hw)
 
     recall_before = trainer.match_recall(eval_imgs)
-    losses = []
-    for _ in range(12):
-        loss, n_gt = trainer.train_batch(train_imgs)
-        losses.append(loss)
-        assert n_gt > 0  # homography pairs must produce GT correspondences
+    loss0, n_gt = trainer.train_batch(train_imgs)
+    assert n_gt > 0  # homography pairs must produce GT correspondences
+    # scanned multi-step chunk with on-device synthetic textures (the
+    # production training path — one dispatch for all steps)
+    losses = trainer.train_chunk(30, batch_size=4)
     recall_after = trainer.match_recall(eval_imgs)
 
-    assert losses[-1] < losses[0] * 0.8  # loss drops materially
-    assert recall_after >= recall_before  # and held-out recall doesn't regress
+    assert losses.shape == (30,)
     assert np.isfinite(losses).all()
+    assert losses[-5:].mean() < losses[:5].mean() * 0.9  # loss drops materially
+    assert recall_after >= recall_before  # and held-out recall doesn't regress
