@@ -122,6 +122,16 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         sp_cfg=SuperPointConfig(max_keypoints=max_kpts),
         matcher_cfg=MatcherConfig.lightglue(),
     )
+    # in-env trained homography-pretrained weights (train/pretrain_matcher):
+    # loaded when shipped; MLIS_MATCHER_WEIGHTS overrides the path, =0 disables
+    weights = "random_init"
+    wpath = os.environ.get(
+        "MLIS_MATCHER_WEIGHTS",
+        os.path.join(os.path.dirname(__file__), "checkpoints/lightglue_homog.npz"),
+    )
+    if wpath not in ("0", "") and os.path.exists(wpath):
+        matcher.load_weights(wpath, image_hw=(res_h, res_w))
+        weights = os.path.basename(wpath)
     pipe = FullGatePipeline(
         vpr_method="mixvpr",
         verifier=GeometricVerifier(matcher=matcher),
@@ -129,6 +139,7 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         # 2048-kpt attention at batch 256 exceeds the 16G HBM; 64 fits
         verify_batch=64 if fullres else 256,
         detect_scale=1.0,
+        matcher_weights=None,  # loaded explicitly above, reported in the line
     )
 
     best = None
@@ -152,6 +163,7 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         "value": round(best.pairs_per_sec, 1),
         "unit": "pairs/s",
         "vs_baseline": round(best.pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 3),
+        "matcher_weights": weights,
     }
 
 

@@ -178,6 +178,7 @@ class FullGatePipeline:
         verify_batch: int = 64,
         strict_floor: bool = True,
         detect_scale: float = 1.0,
+        matcher_weights: Optional[str] = "auto",
         **model_kwargs,
     ):
         self.detect_scale = detect_scale
@@ -188,6 +189,33 @@ class FullGatePipeline:
             **model_kwargs,
         )
         self.verifier = verifier or GeometricVerifier(matcher_type=matcher_type)
+        # in-env trained matcher weights (train/pretrain_matcher.py): "auto"
+        # loads the shipped checkpoint when its shapes fit the configured
+        # matcher (tiny test matchers silently keep random init); an explicit
+        # path raises on mismatch; None disables.
+        self.matcher_weights_loaded = None
+        if matcher_weights is not None:
+            import os as _os
+
+            auto = matcher_weights == "auto"
+            path = (
+                _os.path.join(
+                    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+                        _os.path.abspath(__file__)
+                    ))),
+                    "checkpoints/lightglue_homog.npz",
+                )
+                if auto
+                else matcher_weights
+            )
+            m = self.verifier.matcher
+            if _os.path.exists(path) and hasattr(m, "load_weights"):
+                try:
+                    m.load_weights(path)
+                    self.matcher_weights_loaded = path
+                except (KeyError, ValueError):
+                    if not auto:  # explicit path must not fail silently
+                        raise
         self.top_k = top_k
         self.similarity_threshold = similarity_threshold
         self.min_time_gap = min_time_gap

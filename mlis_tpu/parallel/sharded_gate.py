@@ -51,6 +51,7 @@ def sharded_full_gate_step(
     min_time_gap: float = 10.0,
     per_device_budget: int = 16,
     ransac_threshold: float = 3.0,
+    exact: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
     """One multi-chip gate step.
 
@@ -58,7 +59,16 @@ def sharded_full_gate_step(
       verdicts: dict of (n_dev * budget,) arrays — qi, mi, slot_valid,
         n_matches, n_inliers, inlier_ratio — for each device's budgeted
         accepted pairs (slot_valid False marks unused budget slots).
-      stats: global DIRECTED counts {total, rejected, accepted} (psum).
+      stats: global DIRECTED counts {total, rejected, accepted} (psum),
+        plus {verified, dropped, budget_used}.
+
+    Exactness contract (mirrors the single-chip fused path's overflow
+    fallback, gating/full_gate.py): when `exact` (default) and any
+    device's accepted count overflows per_device_budget, the step reruns
+    with the budget raised to the next power of two >= the max per-device
+    accepted count — so accepted pairs are NEVER silently dropped.
+    With exact=False, overflow keeps each device's top-budget pairs by
+    score and reports the drop in stats['dropped'] instead of hiding it.
     """
     from mlis_tpu.ops.image import to_grayscale
 
@@ -81,86 +91,111 @@ def sharded_full_gate_step(
     # (slot_valid already marks unused slots, so shrinking is safe)
     B = min(int(per_device_budget), shard * kk)
 
-    def local(imgs, t_loc, fl_loc, t_all, fl_all):
-        # encode + detect: device-local keyframe slab
-        desc_loc = encode_fn(imgs)  # (shard, D)
-        gray = to_grayscale(imgs, size=(h8, w8))
-        kp_loc = matcher.sp.detect(gray)
-        if (h8, w8) != (H, W):
-            kp_loc = kp_loc._replace(
-                coords=kp_loc.coords
-                * jnp.asarray([W / w8, H / h8], jnp.float32)
+    def make_local(B: int):
+        def local(imgs, t_loc, fl_loc, t_all, fl_all):
+            # encode + detect: device-local keyframe slab
+            desc_loc = encode_fn(imgs)  # (shard, D)
+            gray = to_grayscale(imgs, size=(h8, w8))
+            kp_loc = matcher.sp.detect(gray)
+            if (h8, w8) != (H, W):
+                kp_loc = kp_loc._replace(
+                    coords=kp_loc.coords
+                    * jnp.asarray([W / w8, H / h8], jnp.float32)
+                )
+
+            # replicate descriptors + keypoints over ICI
+            desc_all = jax.lax.all_gather(desc_loc, DATA_AXIS, tiled=True)
+            kp_all = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, DATA_AXIS, tiled=True), kp_loc
             )
 
-        # replicate descriptors + keypoints over ICI
-        desc_all = jax.lax.all_gather(desc_loc, DATA_AXIS, tiled=True)
-        kp_all = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, DATA_AXIS, tiled=True), kp_loc
-        )
+            # retrieval: local query slab vs the full database
+            scores, idx = cosine_topk(
+                desc_loc, desc_all, t_loc, t_all, k=kk,
+                min_time_gap=min_time_gap,
+            )
+            valid = jnp.isfinite(scores) & (scores >= threshold)
+            accept = valid & (fl_loc[:, None] == fl_all[idx])
 
-        # retrieval: local query slab vs the full database
-        scores, idx = cosine_topk(
-            desc_loc, desc_all, t_loc, t_all, k=kk,
-            min_time_gap=min_time_gap,
-        )
-        valid = jnp.isfinite(scores) & (scores >= threshold)
-        accept = valid & (fl_loc[:, None] == fl_all[idx])
+            # global directed statistics: one psum each
+            total = jax.lax.psum(valid.sum(), DATA_AXIS)
+            rejected = jax.lax.psum((valid & ~accept).sum(), DATA_AXIS)
+            accepted = jax.lax.psum(accept.sum(), DATA_AXIS)
+            acc_cnt = accept.sum()  # this device's accepted count
 
-        # global directed statistics: one psum each
-        total = jax.lax.psum(valid.sum(), DATA_AXIS)
-        rejected = jax.lax.psum((valid & ~accept).sum(), DATA_AXIS)
-        accepted = jax.lax.psum(accept.sum(), DATA_AXIS)
+            # budgeted selection: this device's top-B accepted pairs by score
+            flat = jnp.where(accept, scores, -jnp.inf).reshape(-1)
+            top_s, pos = jax.lax.top_k(flat, B)
+            slot_ok = jnp.isfinite(top_s)
+            dev = jax.lax.axis_index(DATA_AXIS)
+            qi = jnp.where(slot_ok, dev * shard + pos // kk, 0)
+            mi = jnp.where(slot_ok, idx.reshape(-1)[pos], 0)
 
-        # budgeted selection: this device's top-B accepted pairs by score
-        flat = jnp.where(accept, scores, -jnp.inf).reshape(-1)
-        top_s, pos = jax.lax.top_k(flat, B)
-        slot_ok = jnp.isfinite(top_s)
-        dev = jax.lax.axis_index(DATA_AXIS)
-        qi = jnp.where(slot_ok, dev * shard + pos // kk, 0)
-        mi = jnp.where(slot_ok, idx.reshape(-1)[pos], 0)
+            out = fused(
+                m_params, kp_all, qi, mi, jax.random.fold_in(
+                    jax.random.PRNGKey(0), dev
+                ),
+            )
+            _, _, n_match, n_inl, ratio, _, _ = out
+            return (
+                qi.astype(jnp.int32),
+                mi.astype(jnp.int32),
+                slot_ok,
+                n_match.astype(jnp.int32),
+                n_inl.astype(jnp.int32),
+                ratio,
+                jnp.stack([total, rejected, accepted]),
+                acc_cnt.astype(jnp.int32)[None],
+            )
 
-        out = fused(
-            m_params, kp_all, qi, mi, jax.random.fold_in(
-                jax.random.PRNGKey(0), dev
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            out_specs=(
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(),
+                P(DATA_AXIS),
             ),
-        )
-        _, _, n_match, n_inl, ratio, _, _ = out
-        return (
-            qi.astype(jnp.int32),
-            mi.astype(jnp.int32),
-            slot_ok,
-            n_match.astype(jnp.int32),
-            n_inl.astype(jnp.int32),
-            ratio,
-            jnp.stack([total, rejected, accepted]),
+            check_vma=False,
         )
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
-        out_specs=(
-            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(),
-        ),
-        check_vma=False,
-    )
     t = jnp.asarray(np.asarray(timestamps, np.float32))
     fl = jnp.asarray(np.asarray(floor_labels, np.int32))
-    qi, mi, ok, n_match, n_inl, ratio, stats = jax.jit(fn)(
-        jnp.asarray(images), t, fl, t, fl
-    )
-    stats = np.asarray(stats)
+    imgs_dev = jnp.asarray(images)
+
+    def run(B: int):
+        qi, mi, ok, n_match, n_inl, ratio, stats, dev_acc = jax.jit(
+            make_local(B)
+        )(imgs_dev, t, fl, t, fl)
+        return (
+            np.asarray(qi), np.asarray(mi), np.asarray(ok),
+            np.asarray(n_match), np.asarray(n_inl), np.asarray(ratio),
+            np.asarray(stats), np.asarray(dev_acc),
+        )
+
+    qi, mi, ok, n_match, n_inl, ratio, stats, dev_acc = run(B)
+    max_acc = int(dev_acc.max()) if n_dev else 0
+    if exact and max_acc > B:
+        # overflow: raise the budget to the next power of two covering the
+        # worst device (power-of-2 bounds the number of distinct compiled
+        # shapes) and rerun — the accepted sets don't depend on B, so one
+        # rerun restores exactness
+        B = min(1 << (max_acc - 1).bit_length(), shard * kk)
+        qi, mi, ok, n_match, n_inl, ratio, stats, dev_acc = run(B)
     verdicts = {
-        "qi": np.asarray(qi),
-        "mi": np.asarray(mi),
-        "slot_valid": np.asarray(ok),
-        "n_matches": np.asarray(n_match),
-        "n_inliers": np.asarray(n_inl),
-        "inlier_ratio": np.asarray(ratio),
+        "qi": qi,
+        "mi": mi,
+        "slot_valid": ok,
+        "n_matches": n_match,
+        "n_inliers": n_inl,
+        "inlier_ratio": ratio,
     }
     return verdicts, {
         "total": int(stats[0]),
         "rejected": int(stats[1]),
         "accepted": int(stats[2]),
+        "verified": int(ok.sum()),
+        "dropped": int(np.maximum(dev_acc - B, 0).sum()),
+        "budget_used": B,
     }

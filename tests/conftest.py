@@ -28,6 +28,64 @@ if _platform == "cpu":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Cold-box test tiers (round-2 verdict: a cold machine pays 20-50 s of
+# XLA compile per heavyweight test; `-m smoke` gives a <2 min signal).
+# Durations-derived list of the compile-heavy tests (>15 s warm, several
+# minutes cold); everything not heavy and not slow is marked `smoke`.
+HEAVY_TESTS = {
+    "test_matcher_trainer.py::test_matcher_training_improves_recall",
+    "test_graft_entry.py::test_dryrun_multichip_8",
+    "test_graft_entry.py::test_dryrun_multichip_2",
+    "test_parallel.py::test_trainer_checkpoint_roundtrip",
+    "test_parallel.py::test_vpr_trainer_end_to_end",
+    "test_parallel.py::test_sharded_forward_matches_single_device",
+    "test_full_gate.py::test_full_gate_end_to_end",
+    "test_full_gate.py::test_full_gate_fused_budget_matches_two_phase",
+    "test_full_gate.py::test_full_gate_from_config",
+    "test_full_gate.py::test_full_gate_mono_matches_replicated_rgb",
+    "test_sharded_gate.py::test_sharded_gate_matches_single_device",
+    "test_sharded_gate.py::test_sharded_gate_exactness_matches_pipeline",
+    "test_sharded_gate.py::test_sharded_gate_inexact_mode_reports_drops",
+    "test_yolo.py::test_yolov8_forward_shapes",
+    "test_yolo.py::test_dynamic_filter_metrics",
+    "test_yolo.py::test_detector_end_to_end_tiny",
+    "test_convert.py::test_loftr_converter_full_dims_template",
+    "test_convert.py::test_loftr_converter_stage_parity",
+    "test_convert.py::test_lightglue_converter",
+    "test_convert.py::test_resnet_converter_shapes_and_forward",
+    "test_convert.py::test_superpoint_converter",
+    "test_vpr.py::test_anyloc_tiny_vlad",
+    "test_vpr.py::test_salad_tiny_descriptor",
+    "test_models.py::test_vit_remat_matches_forward_and_grads",
+    "test_verification.py::test_matcher_identical_images_match_self",
+    "test_verification.py::test_loftr_tiny_match",
+    "test_trained_matcher.py::test_shipped_checkpoint_meets_recall_milestone",
+    "test_trained_matcher.py::test_checkpoint_loads_into_bench_configuration",
+    "test_trained_matcher.py::test_tiny_matcher_auto_load_keeps_random_init",
+    "test_yolo.py::test_decode_predictions_in_bounds",
+    "test_convert.py::test_loftr_converter_end_to_end_matches",
+    "test_convert.py::test_dinov2_converter_forward_and_qkv_layout",
+    "test_verification.py::test_verifier_batch_device_path",
+    "test_verification.py::test_matcher_batch_shapes",
+    "test_verification.py::test_superpoint_detect_shapes",
+    "test_vpr.py::test_mixvpr_tiny_descriptor",
+    "test_models.py::test_resnet_tiny_shapes",
+    "test_full_gate.py::test_full_gate_no_verify_mode",
+    "test_full_gate.py::test_full_gate_empty_when_threshold_high",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        base = item.nodeid.split("::")[-1].split("[")[0]
+        key = f"{fname}::{base}"
+        if key in HEAVY_TESTS:
+            item.add_marker(pytest.mark.heavy)
+        elif "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
+
+
 REFERENCE_TRAJECTORIES = os.environ.get(
     "MLIS_TRAJECTORY_ROOT", "/root/reference/results/trajectories"
 )

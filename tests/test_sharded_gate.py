@@ -109,6 +109,85 @@ def test_sharded_gate_matches_single_device(rng):
     np.testing.assert_array_equal(verdicts["n_inliers"][ok], n_inl_ref[ok])
 
 
+def test_sharded_gate_exactness_matches_pipeline(rng):
+    """Multi-device verdicts match FullGatePipeline.process pair-for-pair
+    on the same inputs — including when survivors exceed the per-device
+    budget (exact mode must raise the budget and rerun rather than
+    silently dropping accepted pairs)."""
+    from types import SimpleNamespace
+
+    from mlis_tpu.gating.full_gate import FullGatePipeline
+
+    n = 16
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 8 + [2] * 8)
+    mesh = make_mesh(-1, 1)
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+        matcher_cfg=MatcherConfig.tiny_test(),
+    )
+    # budget 1 forces overflow on any device with >1 accepted pair
+    verdicts, stats = sharded_full_gate_step(
+        mesh, lg, _encode_fn, images, times, floors, K_CAM,
+        top_k=5, threshold=0.9, min_time_gap=10.0, per_device_budget=1,
+        exact=True,
+    )
+    assert stats["accepted"] > 8  # overflow actually exercised
+    assert stats["budget_used"] > 1  # budget was raised...
+    assert stats["dropped"] == 0  # ...and nothing was dropped
+    assert stats["verified"] == stats["accepted"]
+
+    # single-chip reference: the exact two-phase pipeline on the same
+    # inputs (same matcher, same encoder via a stub VPR)
+    spr = SimpleNamespace(
+        vpr=SimpleNamespace(encode_batch_device=_encode_fn)
+    )
+    pipe = FullGatePipeline(
+        vpr=spr,
+        verifier=GeometricVerifier(matcher=lg),
+        top_k=5,
+        similarity_threshold=0.9,
+        min_time_gap=10.0,
+        strict_floor=True,
+    )
+    res = pipe.process(images, times, floors, K_CAM)
+
+    ok = verdicts["slot_valid"]
+    directed = list(zip(verdicts["qi"][ok], verdicts["mi"][ok]))
+    undirected = {(min(q, m), max(q, m)) for q, m in directed}
+    pipe_pairs = {(r.query_idx, r.match_idx) for r in res.results}
+    # same survivor set modulo direction convention
+    assert undirected == pipe_pairs
+
+    # per-pair matcher verdicts agree (the matcher is exactly symmetric
+    # in pair order: swapped streams produce the transposed score matrix)
+    pipe_matches = {
+        (r.query_idx, r.match_idx): r.num_matches for r in res.results
+    }
+    for (q, m), n_match in zip(directed, verdicts["n_matches"][ok]):
+        assert pipe_matches[(min(q, m), max(q, m))] == n_match
+
+
+def test_sharded_gate_inexact_mode_reports_drops(rng):
+    n = 16
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 8 + [2] * 8)
+    mesh = make_mesh(-1, 1)
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+        matcher_cfg=MatcherConfig.tiny_test(),
+    )
+    verdicts, stats = sharded_full_gate_step(
+        mesh, lg, _encode_fn, images, times, floors, K_CAM,
+        top_k=5, threshold=0.9, min_time_gap=10.0, per_device_budget=1,
+        exact=False,
+    )
+    assert stats["budget_used"] == 1
+    assert stats["dropped"] == stats["accepted"] - stats["verified"] > 0
+
+
 def test_sharded_gate_rejects_bad_shard(rng):
     import pytest
 
