@@ -346,9 +346,32 @@ def _cmd_bench(args) -> int:
     return 0
 
 
+def _cmd_layout(args) -> int:
+    from mlis_tpu.viz.live import LAYOUTS, save_layout
+
+    if args.list:
+        for name in sorted(LAYOUTS):
+            print(name)
+        return 0
+    out = args.output or f"{args.name}_layout.json"
+    save_layout(args.name, out, algorithm=args.algorithm)
+    print(f"wrote Foxglove layout: {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="mlis_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd")
+
+    p = sub.add_parser(
+        "layout",
+        help="generate a Foxglove Studio live-visualization layout "
+        "(reference config/foxglove parity + gating monitor)",
+    )
+    p.add_argument("name", nargs="?", default="gating_monitor")
+    p.add_argument("--algorithm", default="lego_loam")
+    p.add_argument("--output", "-o")
+    p.add_argument("--list", action="store_true", help="list layouts")
 
     p = sub.add_parser("gate", help="semantic gating analysis")
     p.add_argument("--trajectory-root", default="/root/reference/results/trajectories")
@@ -436,6 +459,8 @@ def main(argv=None) -> int:
         return _cmd_all(args)
     if args.cmd == "check-data":
         return _cmd_check_data(args)
+    if args.cmd == "layout":
+        return _cmd_layout(args)
     parser.print_help()
     return 1
 

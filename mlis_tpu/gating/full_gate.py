@@ -178,10 +178,20 @@ class FullGatePipeline:
         verify_batch: int = 64,
         strict_floor: bool = True,
         detect_scale: float = 1.0,
+        match_top_k: Optional[int] = None,
         matcher_weights: Optional[str] = "auto",
         **model_kwargs,
     ):
         self.detect_scale = detect_scale
+        # keypoint pruning: detect the full budget (e.g. the reference's
+        # 2048, geometric_verification.py:216-242) but MATCH only the
+        # top-match_top_k keypoints by detector score — the matcher's
+        # attention is O(K^2), so half the keypoints is 4x less matcher
+        # work. Keypoints are score-sorted, so this is a prefix slice and
+        # the prefix-valid mask property is preserved. (The official
+        # LightGlue prunes keypoints adaptively at inference; this is the
+        # static-shape analogue.)
+        self.match_top_k = match_top_k
         self.spr = vpr or SemanticPlaceRecognition(
             vpr_method=vpr_method,
             similarity_threshold=similarity_threshold,
@@ -252,11 +262,16 @@ class FullGatePipeline:
             self.verifier.matcher, "make_fused_match_verify"
         )
         encode_dev = getattr(self.spr.vpr, "encode_batch_device", None)
-        uc = upload_chunk if (fused_ok and encode_dev is not None) else n
-        parts = [
-            jax.device_put(np.ascontiguousarray(images[s : min(s + uc, n)]))
-            for s in range(0, n, max(uc, 1))
-        ]
+        if isinstance(images, jax.Array):
+            # already device-resident (e.g. a compute-only benchmark rep):
+            # no upload chunking needed
+            parts = [images]
+        else:
+            uc = upload_chunk if (fused_ok and encode_dev is not None) else n
+            parts = [
+                jax.device_put(np.ascontiguousarray(images[s : min(s + uc, n)]))
+                for s in range(0, n, max(uc, 1))
+            ]
 
         # per-slice keypoint detection + VPR encode, dispatched as each
         # slice's upload is queued; both stages stay device-resident
@@ -442,6 +457,10 @@ class FullGatePipeline:
             kp = kp._replace(
                 coords=kp.coords * jnp.asarray([sx, sy], jnp.float32)
             )
+            if self.match_top_k and self.match_top_k < kp.coords.shape[1]:
+                kp = jax.tree_util.tree_map(
+                    lambda x: x[:, : self.match_top_k], kp
+                )
             kps.append(kp)
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *kps

@@ -72,6 +72,10 @@ HEAVY_TESTS = {
     "test_models.py::test_resnet_tiny_shapes",
     "test_full_gate.py::test_full_gate_no_verify_mode",
     "test_full_gate.py::test_full_gate_empty_when_threshold_high",
+    "test_quality.py::test_gate_decisions_trained_vs_random",
+    "test_full_gate.py::test_full_gate_match_top_k_prunes_but_preserves_pairs",
+    "test_vpr_finetune.py::test_finetune_reduces_cross_floor_retrieval",
+    "test_vpr_finetune.py::test_aliasing_set_construction",
 }
 
 

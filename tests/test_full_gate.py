@@ -229,3 +229,48 @@ def test_full_gate_from_config():
     assert pipe.strict_floor is False
     assert pipe.verifier.matcher.sp.cfg.max_keypoints == 128
     assert type(pipe.spr.vpr).__name__ == "MixVPR"
+
+
+def test_full_gate_match_top_k_prunes_but_preserves_pairs(rng):
+    """Keypoint pruning (detect K, match top-M by score) keeps the
+    survivor pair set identical (retrieval/gating are keypoint-free) and
+    every matcher-stage count is bounded by the pruned budget. Also
+    covers device-resident keyframe input (compute-only bench path)."""
+    import jax
+
+    n = 12
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 6 + [2] * 6)
+
+    def build(match_top_k):
+        vpr_db = BasePlaceRecognition(descriptor_dim=110, encoder=_PatchEncoder())
+        spr = SemanticPlaceRecognition(
+            vpr_method=vpr_db, similarity_threshold=0.9, min_time_gap=10.0
+        )
+        lg = LightGlue(
+            sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+            matcher_cfg=MatcherConfig.tiny_test(),
+        )
+        return FullGatePipeline(
+            vpr=spr,
+            verifier=GeometricVerifier(matcher=lg),
+            similarity_threshold=0.9,
+            verify_batch=8,
+            match_top_k=match_top_k,
+        )
+
+    full = build(None).process(images, times, floors, K_CAM)
+    pruned_pipe = build(32)
+    pruned = pruned_pipe.process(
+        jax.device_put(images), times, floors, K_CAM
+    )
+
+    assert {(r.query_idx, r.match_idx) for r in full.results} == {
+        (r.query_idx, r.match_idx) for r in pruned.results
+    }
+    assert pruned.total_pairs == full.total_pairs
+    for r in pruned.results:
+        assert r.num_keypoints_query <= 32
+        assert r.num_keypoints_match <= 32
+        assert r.num_matches <= 32

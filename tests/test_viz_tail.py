@@ -141,3 +141,25 @@ def test_interactive_3d_html(tmp_path, rng):
     assert html.count('"valid"') == 2  # both links embedded
     assert '"valid": false' in html  # (5, 205) crosses floors 1 -> 5
     assert '"valid": true' in html  # (10, 60) stays on floor 1
+
+
+def test_foxglove_layout_generation(tmp_path):
+    """Live-visualization layouts (viz/live.py): reference config/foxglove
+    parity (LeGO-LOAM 3D + ORB-SLAM3 stereo) plus the gating monitor."""
+    import json
+
+    from mlis_tpu.viz.live import LAYOUTS, save_layout
+
+    for name in LAYOUTS:
+        out = tmp_path / f"{name}.json"
+        d = save_layout(name, str(out))
+        j = json.loads(out.read_text())
+        assert j == d
+        assert {"layout", "playbackConfig", "configById"} <= set(j)
+
+    lego = json.dumps(save_layout("lego_loam", str(tmp_path / "l.json")))
+    assert "/ouster/points" in lego and "/aft_mapped_to_init" in lego
+    orb = json.dumps(save_layout("orb_slam3", str(tmp_path / "o.json")))
+    assert "/camera_array/cam1/image_raw" in orb
+    gate = json.dumps(save_layout("gating_monitor", str(tmp_path / "g.json")))
+    assert "/mlis/floor_label" in gate and "linear_acceleration.z" in gate
