@@ -54,6 +54,11 @@ def main(argv=None) -> dict:
         help="checkpoint path (best held-out recall)",
     )
     ap.add_argument(
+        "--init-from",
+        help="warm-start from an existing save_weights npz (e.g. finetune "
+        "the 512-kpt checkpoint at a larger keypoint budget)",
+    )
+    ap.add_argument(
         "--tiny", action="store_true",
         help="tiny model + small images (CPU smoke test of the driver)",
     )
@@ -85,6 +90,9 @@ def main(argv=None) -> dict:
         ),
         seed=args.seed,
     )
+    if args.init_from:
+        lg.load_weights(args.init_from, image_hw=(args.height, args.width))
+        print(f"warm-started from {args.init_from}", flush=True)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=args.peak_lr,
