@@ -20,12 +20,25 @@ import os as _os
 
 # Persistent XLA compilation cache (kernels recompile per process through
 # the TPU tunnel otherwise). Opt out with MLIS_COMPILE_CACHE=0.
+# The env var alone is not enough when jax was imported before mlis_tpu
+# (jax snapshots config env at its own import) — update the live config
+# too, so CPU test processes actually persist their compiles.
 if _os.environ.get("MLIS_COMPILE_CACHE", "1") != "0":
-    _os.environ.setdefault(
+    _cache_dir = _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         _os.path.expanduser("~/.cache/mlis_tpu/jax"),
     )
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+        )
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 # Re-exports assembled lazily to keep import light; heavy model modules are
 # imported on first attribute access.

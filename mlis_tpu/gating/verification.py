@@ -289,6 +289,18 @@ class GeometricVerifier:
                 ),
             )
             P = len(n_match)
+        elif not hasattr(self.matcher, "match_batch"):
+            # classical matcher (e.g. the weight-free ORB fallback): its
+            # front end batches internally but matching is per-pair
+            return [
+                self.verify(
+                    np.asarray(images0[p]),
+                    np.asarray(images1[p]),
+                    K,
+                    *(indices[p] if indices is not None else (p, p)),
+                )
+                for p in range(len(images0))
+            ]
         else:
             kp0, kp1, matches = self.matcher.match_batch(
                 jnp.asarray(images0), jnp.asarray(images1)

@@ -59,6 +59,11 @@ def main(argv=None) -> dict:
         "the 512-kpt checkpoint at a larger keypoint budget)",
     )
     ap.add_argument(
+        "--sp-init",
+        help="load TRAINED SuperPoint weights (pretrain_superpoint.py npz) "
+        "as the frozen detector front end instead of random filters",
+    )
+    ap.add_argument(
         "--tiny", action="store_true",
         help="tiny model + small images (CPU smoke test of the driver)",
     )
@@ -93,6 +98,16 @@ def main(argv=None) -> dict:
     if args.init_from:
         lg.load_weights(args.init_from, image_hw=(args.height, args.width))
         print(f"warm-started from {args.init_from}", flush=True)
+    if args.sp_init:
+        from mlis_tpu.models.convert import _match_dtypes
+        from mlis_tpu.models.weights import load_params_npz
+
+        trees = load_params_npz(args.sp_init)
+        lg.sp.init_params((args.height, args.width))
+        lg.sp.params = _match_dtypes(
+            {"params": trees["superpoint"]}, lg.sp.params
+        )
+        print(f"frozen SuperPoint loaded from {args.sp_init}", flush=True)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=args.peak_lr,
