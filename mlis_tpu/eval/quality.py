@@ -188,8 +188,12 @@ def run_gate_quality(
     hw: Tuple[int, int] = (270, 360),
     max_keypoints: int = 512,
     strict_floor: bool = True,
-    top_k: int = 5,
-    similarity_threshold: float = 0.5,
+    # retrieval defaults picked so candidate generation is NOT the
+    # bottleneck being measured (top-5 / thr 0.5 caps retrieval recall at
+    # 0.625 on the 8-place scene; top-8 / 0.45 reaches the 0.875 encoder
+    # ceiling) — the benchmark isolates gate + verification decisions
+    top_k: int = 8,
+    similarity_threshold: float = 0.45,
     verify_batch: int = 64,
     seed: int = 0,
     scene: Optional[QualityScene] = None,

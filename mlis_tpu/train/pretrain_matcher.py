@@ -108,10 +108,11 @@ def main(argv=None) -> dict:
             {"params": trees["superpoint"]}, lg.sp.params
         )
         print(f"frozen SuperPoint loaded from {args.sp_init}", flush=True)
+    warmup = min(args.warmup, max(args.steps // 4, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=args.peak_lr,
-        warmup_steps=args.warmup,
+        warmup_steps=warmup,
         decay_steps=args.steps,
         end_value=1e-6,
     )

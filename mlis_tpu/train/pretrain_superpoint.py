@@ -56,8 +56,9 @@ def main(argv=None) -> dict:
         else SuperPointConfig(max_keypoints=args.kpts)
     )
     sp = SuperPoint(cfg, seed=args.seed)
+    warmup = min(args.warmup, max(args.steps // 4, 1))
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.peak_lr, args.warmup, args.steps, end_value=1e-6
+        0.0, args.peak_lr, warmup, args.steps, end_value=1e-6
     )
     trainer = SuperPointTrainer(
         sp,
@@ -96,6 +97,7 @@ def main(argv=None) -> dict:
         if done >= next_eval or done >= args.steps:
             next_eval += args.eval_every
             m = trainer.corner_metrics()
+            m["repeatability"] = trainer.repeatability()
             history["eval"].append((done, m))
             print(f"  eval@{done}: {m}", flush=True)
             if m["corner_recall"] > best or not saved:

@@ -377,6 +377,49 @@ class SuperPointTrainer:
             "n_gt": n_gt,
         }
 
+    def repeatability(
+        self, key=None, n: int = 8, dist_px: float = 3.0
+    ) -> float:
+        """Detector repeatability under homography warps of textured
+        scenes (the classic detector metric): fraction of keypoints in
+        the warped view that land within dist_px of an H-projected
+        keypoint from the original view."""
+        from mlis_tpu.train.matcher_trainer import (
+            apply_homography,
+            random_homography,
+            synthetic_textures,
+            warp_image,
+        )
+
+        key = key if key is not None else jax.random.PRNGKey(777)
+        H, W = self.image_hw
+        k_img, k_hom = jax.random.split(key)
+        imgs = synthetic_textures(k_img, n, H, W)
+        Hms = jax.vmap(
+            lambda k: random_homography(k, H, W, self.max_corner_jitter)
+        )(jax.random.split(k_hom, n))
+        warped = jax.vmap(warp_image)(imgs, Hms)
+        kp0 = self.sp.detect(np.asarray(imgs)[..., None])
+        kp1 = self.sp.detect(np.asarray(warped)[..., None])
+        proj = jax.vmap(apply_homography)(Hms, kp0.coords)
+        proj, c1 = np.asarray(proj), np.asarray(kp1.coords)
+        m0, m1 = np.asarray(kp0.mask), np.asarray(kp1.mask)
+        hits = total = 0
+        for b in range(n):
+            p = proj[b][m0[b]]
+            in_view = (
+                (p[:, 0] >= 0) & (p[:, 0] <= W - 1)
+                & (p[:, 1] >= 0) & (p[:, 1] <= H - 1)
+            )
+            p = p[in_view]
+            q = c1[b][m1[b]]
+            if len(p) == 0 or len(q) == 0:
+                continue
+            d = np.linalg.norm(p[:, None] - q[None, :], axis=-1)
+            hits += int((d.min(axis=1) <= dist_px).sum())
+            total += len(p)
+        return hits / max(total, 1)
+
     def save_checkpoint(self, path: str) -> None:
         from mlis_tpu.models.weights import save_params_npz
 
