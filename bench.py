@@ -158,6 +158,10 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         res = pipe.process(
             images, timestamps, floors, K,
             encode_batch_size=128, survivor_budget=budget,
+            monolithic=True,  # rep 0 (budget None) runs exact two-phase;
+            # later reps run the ONE-dispatch mega program (full_gate
+            # _get_mega) — per-dispatch RTT through the TPU tunnel
+            # otherwise dominates on degraded days
         )
         budget = res.verified or None
         if best is None or res.pairs_per_sec > best.pairs_per_sec:
@@ -177,6 +181,7 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         r = pipe.process(
             images_dev, timestamps, floors, K,
             encode_batch_size=128, survivor_budget=budget,
+            monolithic=True,
         )
         if compute_res is None or r.pairs_per_sec > compute_res.pairs_per_sec:
             compute_res = r
@@ -233,6 +238,11 @@ def bench_quality() -> dict:
     trained = run_gate_quality("trained", scene=scene)
     random_ = run_gate_quality("random", scene=scene)
     orb = run_gate_quality("orb", scene=scene)
+    # ablation: floor gate OFF — aliased cross-floor pairs share textures,
+    # so they geometrically VERIFY and precision collapses; this turns the
+    # reference's headline claim (62-75% cross-floor rejection) into a
+    # decision-quality delta
+    no_gate = run_gate_quality("trained", scene=scene, floor_gate=False)
     return {
         "metric": "gate_decision_f1",
         "value": round(trained["f1"], 3),
@@ -245,6 +255,8 @@ def bench_quality() -> dict:
         "retrieval_recall": round(trained["retrieval_recall"], 3),
         "f1_random_init": round(random_["f1"], 3),
         "f1_orb_fallback": round(orb["f1"], 3),
+        "f1_no_floor_gate": round(no_gate["f1"], 3),
+        "precision_no_floor_gate": round(no_gate["precision"], 3),
     }
 
 

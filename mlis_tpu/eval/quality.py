@@ -188,6 +188,7 @@ def run_gate_quality(
     hw: Tuple[int, int] = (270, 360),
     max_keypoints: int = 512,
     strict_floor: bool = True,
+    floor_gate: bool = True,  # False = ablation: NO floor gating at all
     # retrieval defaults picked so candidate generation is NOT the
     # bottleneck being measured (top-5 / thr 0.5 caps retrieval recall at
     # 0.625 on the 8-place scene; top-8 / 0.45 reaches the 0.875 encoder
@@ -263,8 +264,13 @@ def run_gate_quality(
         )
         enc_fn = getattr(pipe.spr.vpr, "encode_batch_device", None)
 
+    # no-gate ablation: feed constant floor labels so every candidate
+    # reaches verification — the aliased same-texture pairs then verify
+    # geometrically and only the decision score reveals the damage
+    # (decisions are still scored against the scene's REAL floors/GT)
+    fl = scene.floors if floor_gate else np.zeros_like(scene.floors)
     res = pipe.process(
-        scene.images, scene.timestamps, scene.floors, scene.K,
+        scene.images, scene.timestamps, fl, scene.K,
         encode_batch_size=64,
     )
     m = score_gate_decisions(res, scene)

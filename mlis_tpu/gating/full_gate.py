@@ -242,6 +242,7 @@ class FullGatePipeline:
         verify: bool = True,
         upload_chunk: int = 32,
         survivor_budget: Optional[int] = None,
+        monolithic: bool = False,
     ) -> FullGateResult:
         """survivor_budget: when set (and the fused device path applies),
         retrieval + dedup + floor gate + survivor compaction run entirely
@@ -252,6 +253,66 @@ class FullGatePipeline:
         n = len(images)
         res = FullGateResult()
         t_start = time.perf_counter()
+
+        # monolithic fast path: the WHOLE gate as one dispatch + one fetch
+        # (high-RTT transports; see _get_mega). Falls through to the
+        # standard paths when preconditions aren't met or budget overflows.
+        if (
+            monolithic
+            and survivor_budget is not None
+            and verify
+            and hasattr(self.verifier.matcher, "make_fused_match_verify")
+            and hasattr(self.spr.vpr, "_forward")
+            and getattr(self.spr.vpr, "params", None) is not None
+            and n * n < 2**31
+        ):
+            k = min(self.top_k, n)
+            M = 1 << (
+                max(int(min(survivor_budget, n * k)), 1) - 1
+            ).bit_length()  # power-of-2 budget bounds compile count
+            M = int(min(M, n * k))
+            H, W = int(images.shape[1]), int(images.shape[2])
+            mega = self._get_mega((H, W), K, k, M, n)
+            if isinstance(images, jax.Array):
+                images_dev = images
+            else:
+                uc = max(upload_chunk, 1)
+                parts_up = [
+                    jax.device_put(np.ascontiguousarray(images[s : s + uc]))
+                    for s in range(0, n, uc)
+                ]
+                images_dev = (
+                    parts_up[0]
+                    if len(parts_up) == 1
+                    else jnp.concatenate(parts_up, 0)
+                )
+            matcher = self.verifier.matcher
+            t0 = time.perf_counter()
+            flat = np.asarray(
+                mega(
+                    matcher.sp.params,
+                    matcher.params,
+                    self.spr.vpr.params,
+                    images_dev,
+                    jnp.asarray(np.asarray(timestamps, np.float32)),
+                    jnp.asarray(np.asarray(floor_labels, np.int32)),
+                    jax.random.PRNGKey(0),
+                )
+            )
+            out = self._parse_packed(flat, M)
+            if out is not None:
+                results, total, rejected, nsurv = out
+                res.total_pairs = total
+                res.cross_floor_rejected = rejected
+                res.results = results
+                res.verified = len(results)
+                res.geometrically_valid = sum(
+                    1 for r in results if r.is_valid
+                )
+                res.verify_s = time.perf_counter() - t0
+                res.elapsed_s = time.perf_counter() - t_start
+                return res
+            # overflow: fall through to the exact paths below
 
         # chunked upload: keyframe slices stream to the device while the
         # detector/encoder programs for earlier slices already run (the
@@ -434,6 +495,87 @@ class FullGatePipeline:
         res.elapsed_s = time.perf_counter() - t_start
         return res
 
+    def _get_mega(self, hw, K, k, M, n):
+        """ONE jitted program for the entire gate: grayscale -> SuperPoint
+        detect -> VPR encode -> retrieval/dedup/floor-gate/compaction ->
+        fused match+RANSAC on the M budget slots -> packed (M+1, 32) rows.
+
+        Through a high-RTT transport every dispatch costs a round trip;
+        the chunked fused path pays ~7-15 of them, this path pays ONE
+        dispatch + ONE fetch. Encoder/matcher/detector params are ARGS
+        (large closure constants would blow the remote-compile request).
+        Requires a JaxEncoderVPR-style encoder (pure _forward + params).
+        """
+        cache = getattr(self, "_mega_cache", None)
+        if cache is None:
+            cache = self._mega_cache = {}
+        key_t = (hw, float(np.asarray(K)[0, 0]), k, M, n)
+        if key_t in cache:
+            return cache[key_t]
+
+        from mlis_tpu.models.superpoint import (
+            Keypoints,
+            nms_heatmap,
+            sample_descriptors,
+            topk_keypoints,
+        )
+        from mlis_tpu.ops.image import preprocess_imagenet
+
+        matcher = self.verifier.matcher
+        sp_net, sp_cfg = matcher.sp.net, matcher.sp.cfg
+        vpr = self.spr.vpr
+        enc_forward = vpr._forward
+        input_size = vpr.input_size
+        fused = self._get_fused(matcher, hw, K)
+        H, W = hw
+        scale = self.detect_scale
+        h8 = (int(H * scale) // 8) * 8
+        w8 = (int(W * scale) // 8) * 8
+        sx, sy = W / w8, H / h8
+        matcher.sp.init_params((h8, w8))
+        top_m = self.match_top_k
+        threshold = float(self.similarity_threshold)
+        min_gap = float(self.min_time_gap)
+        strict = bool(self.strict_floor)
+
+        def mega(sp_params, m_params, enc_params, images, times, floors, key):
+            gray = to_grayscale(images, size=(h8, w8))
+            heat, dmap = sp_net.apply(sp_params, gray)
+            heat = nms_heatmap(heat, sp_cfg.nms_radius)
+            coords, scores, mask = topk_keypoints(
+                heat, sp_cfg.max_keypoints, sp_cfg.detection_threshold
+            )
+            descs = sample_descriptors(dmap, coords)
+            coords = coords * jnp.asarray([sx, sy], jnp.float32)
+            kp = Keypoints(coords, scores, descs, mask)
+            if top_m and top_m < kp.coords.shape[1]:
+                kp = jax.tree_util.tree_map(lambda x: x[:, :top_m], kp)
+            x = preprocess_imagenet(images, input_size)
+            db = enc_forward(enc_params, x)
+            qi, mi, stats_vec = _gate_compact(
+                db, times, floors,
+                k=k, M=M, threshold=threshold, min_time_gap=min_gap,
+                strict=strict,
+            )
+            out = fused(m_params, kp, qi, mi, key)
+            rows = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [qi.astype(jnp.float32), mi.astype(jnp.float32)],
+                        axis=1,
+                    ),
+                    _pack_verify_outputs(*out),
+                ],
+                axis=1,
+            )
+            stats_row = jnp.concatenate(
+                [stats_vec.astype(jnp.float32), jnp.zeros(29, jnp.float32)]
+            )[None]
+            return jnp.concatenate([rows, stats_row], axis=0)
+
+        cache[key_t] = jax.jit(mega)
+        return cache[key_t]
+
     def _detect_all(self, matcher, images, detect_batch: int = 128):
         """Detect keypoints for all keyframes once (async, device-resident).
 
@@ -541,6 +683,12 @@ class FullGatePipeline:
         flat = np.asarray(
             jnp.concatenate(packed + [stats_row], axis=0)
         )  # ONE fetch
+        return self._parse_packed(flat, M)
+
+    def _parse_packed(self, flat: np.ndarray, M: int):
+        """Decode a fetched (M+1, 32) packed-rows + stats-row array into
+        (results, total, rejected, n_survivors); None on budget overflow
+        (caller reruns the exact two-phase path)."""
         total, rejected, nsurv = (int(v) for v in flat[-1, :3])
         if nsurv > M:
             return None

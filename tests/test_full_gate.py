@@ -274,3 +274,59 @@ def test_full_gate_match_top_k_prunes_but_preserves_pairs(rng):
         assert r.num_keypoints_query <= 32
         assert r.num_keypoints_match <= 32
         assert r.num_matches <= 32
+
+
+def test_full_gate_monolithic_matches_two_phase(rng):
+    """The single-dispatch mega program (detect+encode+gate+verify in ONE
+    jit) produces the same survivors, stats, and matcher verdicts as the
+    exact two-phase path; budget overflow falls back to exact."""
+    from mlis_tpu.models.mixvpr import MixVPR
+    from mlis_tpu.models.resnet import ResNetConfig
+
+    n = 12
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 6 + [2] * 6)
+
+    def build():
+        enc = MixVPR(
+            descriptor_dim=32,
+            backbone_cfg=ResNetConfig.tiny_test(),
+            input_size=(64, 64),
+        )
+        spr = SemanticPlaceRecognition(
+            vpr_method=enc, similarity_threshold=0.8, min_time_gap=10.0
+        )
+        lg = LightGlue(
+            sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+            matcher_cfg=MatcherConfig.tiny_test(),
+        )
+        return FullGatePipeline(
+            vpr=spr,
+            verifier=GeometricVerifier(matcher=lg),
+            similarity_threshold=0.8,
+            verify_batch=64,
+        )
+
+    two_phase = build().process(images, times, floors, K_CAM)
+    assert two_phase.total_pairs > 0
+
+    pipe = build()
+    mono = pipe.process(
+        images, times, floors, K_CAM,
+        survivor_budget=max(two_phase.verified, 1), monolithic=True,
+    )
+    assert mono.total_pairs == two_phase.total_pairs
+    assert mono.cross_floor_rejected == two_phase.cross_floor_rejected
+    assert mono.verified == two_phase.verified
+    a = {(r.query_idx, r.match_idx): r.num_matches for r in mono.results}
+    b = {(r.query_idx, r.match_idx): r.num_matches for r in two_phase.results}
+    assert a == b
+
+    # overflow: budget 1 with >1 survivors must fall back to exact
+    if two_phase.verified > 1:
+        over = build().process(
+            images, times, floors, K_CAM,
+            survivor_budget=1, monolithic=True,
+        )
+        assert over.verified == two_phase.verified

@@ -65,3 +65,13 @@ def test_gate_decisions_trained_vs_random():
     assert trained["cross_floor_rate"] > 0.3  # traps actually retrieved
     # retrieval surfaces most true pairs to begin with
     assert trained["retrieval_recall"] >= 0.6
+
+    # ablation: with the floor gate OFF the aliased same-texture pairs
+    # geometrically verify and precision collapses — the gate IS the
+    # decision-quality mechanism (reference's 62-75% rejection claim)
+    no_gate = run_gate_quality(
+        "trained", scene=scene, max_keypoints=256, floor_gate=False
+    )
+    assert no_gate["false_positives"] > trained["false_positives"]
+    assert no_gate["precision"] <= trained["precision"] - 0.3
+    assert no_gate["f1"] < trained["f1"]
