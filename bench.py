@@ -15,6 +15,7 @@ Two modes (MLIS_BENCH_MODE env):
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -260,9 +261,106 @@ def bench_quality() -> dict:
     }
 
 
+def _run_wrapped() -> int:
+    """Wedge-guard: run the bench in a child process and retry when the TPU
+    tunnel backend wedges at init (a fresh process occasionally blocks
+    forever before its first op — observed round 3, BENCH_NOTES.md) or the
+    run stalls outright. The child prints '[bench] backend ready' to stderr
+    once jax.devices() returns; no heartbeat within the init timeout means
+    a wedged backend, so kill and retry. Exactly ONE JSON line is forwarded
+    to stdout on success."""
+    import subprocess
+    import threading
+
+    env = dict(os.environ, MLIS_BENCH_INNER="1")
+    attempts = int(os.environ.get("MLIS_BENCH_ATTEMPTS", "3"))
+    init_timeout = float(os.environ.get("MLIS_BENCH_INIT_TIMEOUT", "420"))
+    total_timeout = float(os.environ.get("MLIS_BENCH_TOTAL_TIMEOUT", "2700"))
+    for attempt in range(1, attempts + 1):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, text=True,
+        )
+        ready = threading.Event()
+        out_lines: list = []
+
+        def _pump_err(p=proc):
+            for line in p.stderr:
+                sys.stderr.write(line)
+                sys.stderr.flush()
+                if "[bench] backend ready" in line:
+                    ready.set()
+
+        def _pump_out(p=proc):
+            for line in p.stdout:
+                out_lines.append(line)
+
+        te = threading.Thread(target=_pump_err, daemon=True)
+        to = threading.Thread(target=_pump_out, daemon=True)
+        te.start()
+        to.start()
+        if not ready.wait(init_timeout):
+            sys.stderr.write(
+                f"[bench-wrapper] no backend heartbeat in {init_timeout:.0f}s "
+                f"(wedged tunnel init?); retrying {attempt}/{attempts}\n"
+            )
+            proc.kill()
+            proc.wait()
+            continue
+        try:
+            proc.wait(timeout=total_timeout)
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"[bench-wrapper] exceeded {total_timeout:.0f}s total; "
+                f"retrying {attempt}/{attempts}\n"
+            )
+            proc.kill()
+            proc.wait()
+            continue
+        te.join(timeout=10)
+        to.join(timeout=10)
+        line = next(
+            (l for l in out_lines if l.strip().startswith("{")), None
+        )
+        if proc.returncode == 0 and line is not None:
+            print(line.strip())
+            return 0
+        sys.stderr.write(
+            f"[bench-wrapper] rc={proc.returncode} json={line is not None}; "
+            f"retrying {attempt}/{attempts}\n"
+        )
+    return 1
+
+
 def main():
+    if not os.environ.get("MLIS_BENCH_INNER") and not os.environ.get(
+        "MLIS_BENCH_NOWRAP"
+    ):
+        raise SystemExit(_run_wrapped())
+    # heartbeat for the wedge-guard: jax.devices() is exactly the call that
+    # blocks forever when the tunnel backend wedges at init
+    import jax
+
+    # sitecustomize pins jax_platforms=axon,cpu; honour an explicit CPU
+    # request (wrapper smoke tests) the documented way
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    print(f"[bench] backend ready: {jax.devices()}", file=sys.stderr, flush=True)
     mode = os.environ.get("MLIS_BENCH_MODE", "full")
-    if mode == "sweep":
+    if mode == "probe":
+        # tunnel-health probe: backend init + one tiny op round-trip only
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        v = float(jnp.arange(8.0).sum())
+        out = {
+            "metric": "tunnel_probe_roundtrip_s",
+            "value": round(time.perf_counter() - t0, 3),
+            "unit": "s",
+            "vs_baseline": 1.0 if v == 28.0 else 0.0,
+        }
+    elif mode == "sweep":
         out = bench_sweep()
     elif mode == "fullres":
         out = bench_full_gate(fullres=True)
