@@ -126,9 +126,10 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     # in-env trained homography-pretrained weights (train/pretrain_matcher):
     # loaded when shipped; MLIS_MATCHER_WEIGHTS overrides the path, =0 disables
     weights = "random_init"
+    from mlis_tpu.models.weights import default_matcher_checkpoint
+
     wpath = os.environ.get(
-        "MLIS_MATCHER_WEIGHTS",
-        os.path.join(os.path.dirname(__file__), "checkpoints/lightglue_homog.npz"),
+        "MLIS_MATCHER_WEIGHTS", default_matcher_checkpoint() or ""
     )
     if wpath not in ("0", "") and os.path.exists(wpath):
         matcher.load_weights(wpath, image_hw=(res_h, res_w))

@@ -198,6 +198,7 @@ def run_gate_quality(
     verify_batch: int = 64,
     seed: int = 0,
     scene: Optional[QualityScene] = None,
+    weights_path: Optional[str] = None,  # matcher='trained': explicit ckpt
 ) -> Dict:
     """Build the scene, run the full gate, score the decisions.
 
@@ -225,13 +226,10 @@ def run_gate_quality(
         if matcher == "trained":
             import os
 
-            path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)
-                ))),
-                "checkpoints/lightglue_homog.npz",
-            )
-            if os.path.exists(path):
+            from mlis_tpu.models.weights import default_matcher_checkpoint
+
+            path = weights_path or default_matcher_checkpoint()
+            if path and os.path.exists(path):
                 lg.load_weights(path, image_hw=hw)
                 weights = os.path.basename(path)
         verifier = GeometricVerifier(matcher=lg)

@@ -200,26 +200,21 @@ class FullGatePipeline:
         )
         self.verifier = verifier or GeometricVerifier(matcher_type=matcher_type)
         # in-env trained matcher weights (train/pretrain_matcher.py): "auto"
-        # loads the shipped checkpoint when its shapes fit the configured
-        # matcher (tiny test matchers silently keep random init); an explicit
-        # path raises on mismatch; None disables.
+        # loads the preferred shipped checkpoint (models/weights.py
+        # default_matcher_checkpoint: trained-SuperPoint variant first) when
+        # its shapes fit the configured matcher (tiny test matchers silently
+        # keep random init); an explicit path raises on mismatch; None
+        # disables.
         self.matcher_weights_loaded = None
         if matcher_weights is not None:
             import os as _os
 
+            from mlis_tpu.models.weights import default_matcher_checkpoint
+
             auto = matcher_weights == "auto"
-            path = (
-                _os.path.join(
-                    _os.path.dirname(_os.path.dirname(_os.path.dirname(
-                        _os.path.abspath(__file__)
-                    ))),
-                    "checkpoints/lightglue_homog.npz",
-                )
-                if auto
-                else matcher_weights
-            )
+            path = default_matcher_checkpoint() if auto else matcher_weights
             m = self.verifier.matcher
-            if _os.path.exists(path) and hasattr(m, "load_weights"):
+            if path and _os.path.exists(path) and hasattr(m, "load_weights"):
                 try:
                     m.load_weights(path)
                     self.matcher_weights_loaded = path

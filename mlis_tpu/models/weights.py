@@ -49,6 +49,29 @@ def save_params_npz(path: str, dtype=np.float16, **trees: Any) -> None:
     np.savez_compressed(path, **flat)
 
 
+def default_matcher_checkpoint() -> str | None:
+    """Path of the shipped in-env-trained LightGlue checkpoint, or None.
+
+    Preference order (both are save_weights npzs carrying the matcher AND
+    its frozen SuperPoint front end together):
+      1. lightglue_homog_sp.npz — matcher trained ON the self-supervised
+         trained SuperPoint detector (train/pretrain_superpoint.py), so
+         detector and matcher are consistent end-to-end;
+      2. lightglue_homog.npz — matcher trained on the random-filter
+         detector (round-3 first milestone).
+    """
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    for name in ("lightglue_homog_sp.npz", "lightglue_homog.npz"):
+        p = os.path.join(root, "checkpoints", name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def load_params_npz(path: str) -> Dict[str, Any]:
     """Load a save_params_npz file -> {name: param_tree} with f32 floats."""
     with np.load(path) as z:

@@ -49,7 +49,9 @@ def test_gate_decisions_trained_vs_random():
     random_ = run_gate_quality("random", scene=scene, max_keypoints=256)
 
     # the trained matcher makes the pipeline's decisions GOOD
-    assert trained["weights"].endswith("lightglue_homog.npz")
+    from mlis_tpu.models.weights import default_matcher_checkpoint
+
+    assert trained["weights"] == os.path.basename(default_matcher_checkpoint())
     assert trained["f1"] >= 0.6, trained
     assert trained["recall"] >= 0.6
     assert trained["precision"] >= 0.6
