@@ -543,6 +543,13 @@ class LightGlue(BaseFeatureMatcher):
                 {"params": trees["superpoint"]}, self.sp.params
             )
         self.params = _match_dtypes({"params": trees["matcher"]}, self.params)
+        # device-put ONCE: _match_dtypes yields numpy leaves, and numpy
+        # param trees passed as jit args re-transfer host->device on EVERY
+        # dispatch (~53 MB = ~2.4 s/call through the 22 MB/s TPU tunnel —
+        # measured round 3; random-init params are born device-resident,
+        # which is why checkpoint loads regressed the bench before this)
+        self.sp.params = jax.device_put(self.sp.params)
+        self.params = jax.device_put(self.params)
         self._jit_match = {}
 
     # -- reference-parity single-pair API --------------------------------------
