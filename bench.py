@@ -251,6 +251,7 @@ def bench_quality() -> dict:
         "unit": "f1",
         "vs_baseline": round(trained["f1"], 3),
         "matcher_weights": trained["weights"],
+        "encoder": trained["encoder"],
         "precision": round(trained["precision"], 3),
         "recall": round(trained["recall"], 3),
         "gating_effectiveness": round(trained["gating_effectiveness"], 3),

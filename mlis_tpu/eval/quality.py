@@ -183,7 +183,9 @@ def retrieval_recall(scene: QualityScene, encoder, top_k=5, threshold=0.5,
 
 def run_gate_quality(
     matcher: str = "trained",  # 'trained' | 'random' | 'orb'
-    encoder: str = "pixel",  # 'pixel' | 'mixvpr'
+    # 'trained_vpr' (default; falls back to 'pixel' when the shipped
+    # checkpoints/vpr_tiny.npz is absent) | 'pixel' | 'mixvpr'
+    encoder: str = "trained_vpr",
     n_places: int = 8,
     hw: Tuple[int, int] = (270, 360),
     max_keypoints: int = 512,
@@ -234,11 +236,22 @@ def run_gate_quality(
                 weights = os.path.basename(path)
         verifier = GeometricVerifier(matcher=lg)
 
-    if encoder == "pixel":
+    if encoder == "trained_vpr":
+        # in-env warp-invariance-pretrained tiny ViT (train/pretrain_vpr):
+        # lifts the pixel encoder's ~0.875 retrieval-recall ceiling on
+        # strongly warped revisits; falls back to pixel when the
+        # checkpoint isn't shipped
+        from mlis_tpu.train.pretrain_vpr import load_encoder
+
+        enc = load_encoder()
+        if enc is None:
+            encoder = "pixel"
+
+    if encoder in ("pixel", "trained_vpr"):
+        enc_fn = _pixel_encoder if encoder == "pixel" else enc
         spr = SimpleNamespace(
-            vpr=SimpleNamespace(encode_batch_device=_pixel_encoder)
+            vpr=SimpleNamespace(encode_batch_device=enc_fn)
         )
-        enc_fn = _pixel_encoder
         pipe = FullGatePipeline(
             vpr=spr,
             verifier=verifier,
