@@ -234,7 +234,12 @@ def run_gate_quality(
             if path and os.path.exists(path):
                 lg.load_weights(path, image_hw=hw)
                 weights = os.path.basename(path)
-        verifier = GeometricVerifier(matcher=lg)
+        # confident-match cut: repeated-structure false pairs RANSAC-pass
+        # with 20-28 inliers but carry <= 5 confident matches (true loop
+        # closures: typically 10-70) — see GeometricVerifier docstring.
+        # thr 6 measured precision 1.0 on ALL of seeds 0-7 (incl. 5
+        # held-out) while keeping more recall than 8 (BENCH_NOTES.md)
+        verifier = GeometricVerifier(matcher=lg, min_confident_matches=6)
 
     if encoder == "trained_vpr":
         # in-env warp-invariance-pretrained tiny ViT (train/pretrain_vpr):

@@ -83,9 +83,11 @@ def _gate_compact(
     return qi, mi, jnp.stack([total, rejected, nsurv])
 
 
-def _pack_verify_outputs(n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts):
-    """Pack one verify bucket's outputs into a (B, 30) f32 row block:
-    [n_kp0, n_kp1, n_match, n_inl, inlier_ratio, E.flat(9), T.flat(16)]."""
+def _pack_verify_outputs(n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts, n_conf):
+    """Pack one verify bucket's outputs into a (B, 31) f32 row block:
+    [n_kp0, n_kp1, n_match, n_inl, inlier_ratio, E.flat(9), T.flat(16),
+    n_confident] (the confident-match count appended LAST keeps the E/T
+    column offsets stable)."""
     B = n_kp0.shape[0]
     return jnp.concatenate(
         [
@@ -101,6 +103,7 @@ def _pack_verify_outputs(n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts):
             ),
             Es.reshape(B, 9).astype(jnp.float32),
             Ts.reshape(B, 16).astype(jnp.float32),
+            n_conf.astype(jnp.float32)[:, None],
         ],
         axis=1,
     )
@@ -564,7 +567,7 @@ class FullGatePipeline:
                 axis=1,
             )
             stats_row = jnp.concatenate(
-                [stats_vec.astype(jnp.float32), jnp.zeros(29, jnp.float32)]
+                [stats_vec.astype(jnp.float32), jnp.zeros(30, jnp.float32)]
             )[None]
             return jnp.concatenate([rows, stats_row], axis=0)
 
@@ -673,7 +676,7 @@ class FullGatePipeline:
             )
             s += size
         stats_row = jnp.concatenate(
-            [stats_vec.astype(jnp.float32), jnp.zeros(29, jnp.float32)]
+            [stats_vec.astype(jnp.float32), jnp.zeros(30, jnp.float32)]
         )[None]
         flat = np.asarray(
             jnp.concatenate(packed + [stats_row], axis=0)
@@ -681,7 +684,7 @@ class FullGatePipeline:
         return self._parse_packed(flat, M)
 
     def _parse_packed(self, flat: np.ndarray, M: int):
-        """Decode a fetched (M+1, 32) packed-rows + stats-row array into
+        """Decode a fetched (M+1, 33) packed-rows + stats-row array into
         (results, total, rejected, n_survivors); None on budget overflow
         (caller reruns the exact two-phase path)."""
         total, rejected, nsurv = (int(v) for v in flat[-1, :3])
@@ -704,6 +707,7 @@ class FullGatePipeline:
                     int(row[5]), float(row[6]),
                     row[16:32].reshape(4, 4),
                     row[7:16].reshape(3, 3),
+                    int(row[32]),
                 )
             )
         return results, total, rejected, nsurv
@@ -766,6 +770,7 @@ class FullGatePipeline:
                         int(rows[p, 3]), float(rows[p, 4]),
                         rows[p, 14:30].reshape(4, 4),
                         rows[p, 5:14].reshape(3, 3),
+                        int(rows[p, 30]),
                     )
                 )
         return results

@@ -45,6 +45,11 @@ class MatchResult:
     essential_matrix: Optional[np.ndarray]
     confidence: float
     is_valid: bool
+    # count of matches with confidence >= the matcher's confident
+    # threshold (0.5); -1 when the path doesn't report it (classical
+    # matchers). TPU-native addition: the discriminative signal behind
+    # GeometricVerifier(min_confident_matches=...).
+    num_confident_matches: int = -1
 
 
 def _invalid_result(query_idx: int, match_idx: int) -> MatchResult:
@@ -159,10 +164,19 @@ class GeometricVerifier:
         min_inlier_ratio: float = 0.25,
         ransac_threshold: float = 3.0,
         matcher=None,
+        # additional acceptance criterion: require >= this many HIGH-
+        # CONFIDENCE matches (matcher score >= 0.5). 0 (default) keeps
+        # exact reference-parity acceptance (inliers/ratio only,
+        # geometric_verification.py:616-620). Repeated indoor structure
+        # produces pairs that pass RANSAC with 20-28 inliers but carry
+        # almost no confident matches (0-5 vs typically 10-70 for true
+        # loop closures on the quality scenes) — this cut removes them.
+        min_confident_matches: int = 0,
         **matcher_kwargs,
     ):
         self.min_inliers = min_inliers
         self.min_inlier_ratio = min_inlier_ratio
+        self.min_confident_matches = min_confident_matches
         self.ransac_threshold = ransac_threshold
         self.matcher = (
             matcher if matcher is not None else _build_matcher(matcher_type, **matcher_kwargs)
@@ -179,10 +193,15 @@ class GeometricVerifier:
         inlier_ratio,
         pose,
         E,
+        n_confident: int = -1,
     ) -> MatchResult:
         is_valid = (
             num_inliers >= self.min_inliers and inlier_ratio >= self.min_inlier_ratio
         )
+        # confident-match cut: only when configured AND the path reports
+        # the count (classical matchers pass -1 and are exempt)
+        if self.min_confident_matches > 0 and n_confident >= 0:
+            is_valid = is_valid and n_confident >= self.min_confident_matches
         confidence = min(1.0, inlier_ratio * (num_inliers / self.min_inliers))
         return MatchResult(
             query_idx=query_idx,
@@ -196,6 +215,7 @@ class GeometricVerifier:
             essential_matrix=E,
             confidence=confidence,
             is_valid=is_valid,
+            num_confident_matches=n_confident,
         )
 
     def verify(
@@ -230,6 +250,15 @@ class GeometricVerifier:
         if K is not None and E is not None and num_inliers >= 5:
             pose = self.matcher.estimate_relative_pose(kpts1, kpts2, K, mask, E)
 
+        # confident-match count only for matchers whose confidences share
+        # the fused path's dual-softmax scale (ORB's Hamming similarity
+        # does not -> -1, exempt from the cut)
+        n_conf = (
+            int((np.asarray(conf) >= 0.5).sum())
+            if getattr(self.matcher, "confidence_is_calibrated", False)
+            else -1
+        )
+
         return self._result_from_counts(
             query_idx,
             match_idx,
@@ -240,6 +269,7 @@ class GeometricVerifier:
             float(ratio),
             pose,
             E,
+            n_conf,
         )
 
     def verify_batch(
@@ -278,7 +308,9 @@ class GeometricVerifier:
                     hw, K, self.ransac_threshold
                 )
             fused = cache[key]
-            n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts = jax.tree_util.tree_map(
+            (
+                n_kp0, n_kp1, n_match, n_inl, ratios, Es, Ts, n_conf
+            ) = jax.tree_util.tree_map(
                 np.asarray,
                 fused(
                     self.matcher.sp.params,
@@ -323,6 +355,9 @@ class GeometricVerifier:
             Ts = np.asarray(T)
             n_kp0 = np.asarray(jnp.sum(kp0.mask, axis=1))
             n_kp1 = np.asarray(jnp.sum(kp1.mask, axis=1))
+            n_conf = np.asarray(
+                jnp.sum(matches.valid & (matches.scores >= 0.5), axis=1)
+            )
 
         out = []
         for p in range(P):
@@ -341,6 +376,7 @@ class GeometricVerifier:
                     float(ratios[p]),
                     Ts[p],
                     Es[p],
+                    int(n_conf[p]),
                 )
             )
         return out

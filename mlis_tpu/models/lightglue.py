@@ -310,6 +310,9 @@ class LightGlue(BaseFeatureMatcher):
     """
 
     matcher_cfg_factory = MatcherConfig.lightglue
+    # detect_and_match confidences are dual-softmax probabilities — the
+    # scale GeometricVerifier's confident-match cut assumes
+    confidence_is_calibrated = True
 
     def __init__(
         self,
@@ -387,12 +390,19 @@ class LightGlue(BaseFeatureMatcher):
         K: np.ndarray,
         ransac_threshold: float = 3.0,
         num_hypotheses: int = 512,
+        confident_threshold: float = 0.5,
     ):
         """Fused matcher + RANSAC + pose over PRE-DETECTED keypoints.
 
         Keyframes are detected once (SuperPoint is ~1 TFLOP/image at full
         resolution); candidate pairs then only pay for matching +
         verification. One device dispatch per pair batch.
+
+        The last output is the count of HIGH-CONFIDENCE matches (score >=
+        confident_threshold): repeated-structure false pairs produce many
+        low-confidence mutual matches but almost no confident ones, so
+        this count is the discriminative signal for
+        GeometricVerifier(min_confident_matches=...).
         """
         from mlis_tpu.ops.epipolar import essential_ransac_batch
 
@@ -429,6 +439,10 @@ class LightGlue(BaseFeatureMatcher):
                 res.inlier_ratio,
                 res.E,
                 T,
+                jnp.sum(
+                    matches.valid & (matches.scores >= confident_threshold),
+                    axis=1,
+                ),
             )
 
         return jax.jit(run)
@@ -439,10 +453,13 @@ class LightGlue(BaseFeatureMatcher):
         K: np.ndarray,
         ransac_threshold: float = 3.0,
         num_hypotheses: int = 512,
+        confident_threshold: float = 0.5,
     ):
         """One jitted program: SuperPoint x2 -> matcher -> batched RANSAC ->
         pose. A single device dispatch per pair-batch (the multi-call path
-        is dominated by per-dispatch latency through the TPU tunnel)."""
+        is dominated by per-dispatch latency through the TPU tunnel).
+        Last output: high-confidence match count (see
+        make_fused_match_verify)."""
         from mlis_tpu.models.superpoint import (
             nms_heatmap,
             sample_descriptors,
@@ -490,6 +507,10 @@ class LightGlue(BaseFeatureMatcher):
                 res.inlier_ratio,
                 res.E,
                 T,
+                jnp.sum(
+                    matches.valid & (matches.scores >= confident_threshold),
+                    axis=1,
+                ),
             )
 
         return jax.jit(run)
@@ -507,14 +528,14 @@ class LightGlue(BaseFeatureMatcher):
 
         if superpoint_sd is not None:
             params = self.sp.init_params(image_hw)
-            self.sp.params = {
+            self.sp.params = jax.device_put({
                 "params": convert_superpoint_torch(superpoint_sd, params["params"])
-            }
+            })
         if matcher_sd is not None:
             self._init(self.sp.cfg.max_keypoints, self.sp.cfg.max_keypoints, image_hw)
-            self.params = {
+            self.params = jax.device_put({
                 "params": convert_lightglue_torch(matcher_sd, self.params["params"])
-            }
+            })
             self._jit_match = {}
 
     def save_weights(self, path: str) -> None:

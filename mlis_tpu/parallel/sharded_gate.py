@@ -136,7 +136,7 @@ def sharded_full_gate_step(
                     jax.random.PRNGKey(0), dev
                 ),
             )
-            _, _, n_match, n_inl, ratio, _, _ = out
+            _, _, n_match, n_inl, ratio, _, _, n_conf = out
             return (
                 qi.astype(jnp.int32),
                 mi.astype(jnp.int32),
@@ -144,6 +144,7 @@ def sharded_full_gate_step(
                 n_match.astype(jnp.int32),
                 n_inl.astype(jnp.int32),
                 ratio,
+                n_conf.astype(jnp.int32),
                 jnp.stack([total, rejected, accepted]),
                 acc_cnt.astype(jnp.int32)[None],
             )
@@ -154,7 +155,8 @@ def sharded_full_gate_step(
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
             out_specs=(
                 P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(),
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                P(),
                 P(DATA_AXIS),
             ),
             check_vma=False,
@@ -165,16 +167,16 @@ def sharded_full_gate_step(
     imgs_dev = jnp.asarray(images)
 
     def run(B: int):
-        qi, mi, ok, n_match, n_inl, ratio, stats, dev_acc = jax.jit(
+        qi, mi, ok, n_match, n_inl, ratio, n_conf, stats, dev_acc = jax.jit(
             make_local(B)
         )(imgs_dev, t, fl, t, fl)
         return (
             np.asarray(qi), np.asarray(mi), np.asarray(ok),
             np.asarray(n_match), np.asarray(n_inl), np.asarray(ratio),
-            np.asarray(stats), np.asarray(dev_acc),
+            np.asarray(n_conf), np.asarray(stats), np.asarray(dev_acc),
         )
 
-    qi, mi, ok, n_match, n_inl, ratio, stats, dev_acc = run(B)
+    qi, mi, ok, n_match, n_inl, ratio, n_conf, stats, dev_acc = run(B)
     max_acc = int(dev_acc.max()) if n_dev else 0
     if exact and max_acc > B:
         # overflow: raise the budget to the next power of two covering the
@@ -182,7 +184,7 @@ def sharded_full_gate_step(
         # shapes) and rerun — the accepted sets don't depend on B, so one
         # rerun restores exactness
         B = min(1 << (max_acc - 1).bit_length(), shard * kk)
-        qi, mi, ok, n_match, n_inl, ratio, stats, dev_acc = run(B)
+        qi, mi, ok, n_match, n_inl, ratio, n_conf, stats, dev_acc = run(B)
     verdicts = {
         "qi": qi,
         "mi": mi,
@@ -190,6 +192,7 @@ def sharded_full_gate_step(
         "n_matches": n_match,
         "n_inliers": n_inl,
         "inlier_ratio": ratio,
+        "n_confident": n_conf,
     }
     return verdicts, {
         "total": int(stats[0]),

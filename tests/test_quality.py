@@ -52,9 +52,12 @@ def test_gate_decisions_trained_vs_random():
     from mlis_tpu.models.weights import default_matcher_checkpoint
 
     assert trained["weights"] == os.path.basename(default_matcher_checkpoint())
-    assert trained["f1"] >= 0.6, trained
+    assert trained["f1"] >= 0.8, trained
     assert trained["recall"] >= 0.6
-    assert trained["precision"] >= 0.6
+    # the confident-match cut (GeometricVerifier min_confident_matches=6)
+    # removes the repeated-structure FPs RANSAC lets through: measured
+    # precision 1.0 on seeds 0-7 at n_places=8 and on this scene
+    assert trained["precision"] >= 0.99, trained
     # random init: true pairs don't verify -> decision quality collapses
     assert random_["f1"] <= 0.2, random_
     assert trained["f1"] - random_["f1"] >= 0.4
