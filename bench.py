@@ -1,16 +1,23 @@
 """Benchmark on one TPU chip. Prints ONE JSON line.
 
-Two modes (MLIS_BENCH_MODE env):
+Modes (MLIS_BENCH_MODE env):
   full  (default) — the BASELINE.json north-star: full semantic gate
         throughput in keyframe pairs/sec (VPR descriptors -> retrieval ->
         floor gate -> SuperPoint/LightGlue/RANSAC verification of the
-        same-floor survivors) on 540x720 keyframes with full-size models.
-        vs_baseline is measured against the 500 pairs/s/chip target.
-        Rejection parity is asserted inside on the published LeGO-LOAM
-        data (87,044 / 65,567 exact) before timing.
+        same-floor survivors) with full-size models. vs_baseline is
+        measured against the 500 pairs/s/chip target. Rejection parity is
+        asserted inside on the published LeGO-LOAM data (87,044 / 65,567
+        exact) before timing.
+  fullres — same protocol at 540x720 / 2048-kpt detection (the
+        reference's own detector configuration).
   sweep — the exact loop-closure candidate sweep over the full ORB-SLAM3
         NUFR-M3F database (367M float64-exact pair checks); vs_baseline is
         the measured reference scipy-KDTree throughput on this host.
+  quality — gate DECISION quality (loop-closure P/R/F1) on the synthetic
+        GT scene, trained vs random vs ORB (eval/quality.py).
+  pgo — trajectory-level gate value: on-chip pose-graph optimization,
+        gated vs ungated vs odometry-only ATE (opt/demo.py).
+  probe — tunnel-health probe (backend init + one tiny op round-trip).
 """
 
 import json
@@ -263,6 +270,30 @@ def bench_quality() -> dict:
     }
 
 
+def bench_pgo() -> dict:
+    """Trajectory-level gate value: on-chip pose-graph optimization of a
+    multi-floor scene (opt/demo.py). The metric is the ATE-RMSE ratio
+    ungated/gated — how much worse the trajectory gets when the aliased
+    cross-floor closures the semantic gate rejects are optimized in.
+    vs_baseline: gated improvement over odometry-only (>1 = gate helps)."""
+    from mlis_tpu.opt.demo import run_pgo_demo
+
+    out = run_pgo_demo(seed=0)
+    return {
+        "metric": "pgo_corruption_ratio_ungated_over_gated",
+        "value": round(out["ungated_ate_rmse"] / out["gated_ate_rmse"], 2),
+        "unit": "x",
+        "vs_baseline": round(
+            out["odometry_ate_rmse"] / out["gated_ate_rmse"], 2
+        ),
+        "ate_init": round(out["ate_init"], 3),
+        "ate_odometry": round(out["odometry_ate_rmse"], 3),
+        "ate_gated": round(out["gated_ate_rmse"], 3),
+        "ate_ungated": round(out["ungated_ate_rmse"], 3),
+        "gate_correct": out["gate_correct"],
+    }
+
+
 def _run_wrapped() -> int:
     """Wedge-guard: run the bench in a child process and retry when the TPU
     tunnel backend wedges at init (a fresh process occasionally blocks
@@ -368,6 +399,8 @@ def main():
         out = bench_full_gate(fullres=True)
     elif mode == "quality":
         out = bench_quality()
+    elif mode == "pgo":
+        out = bench_pgo()
     else:
         out = bench_full_gate()
     print(json.dumps(out))

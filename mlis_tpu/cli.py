@@ -359,6 +359,20 @@ def _cmd_layout(args) -> int:
     return 0
 
 
+def _cmd_pgo(args) -> int:
+    import json
+
+    from mlis_tpu.opt.demo import run_pgo_demo
+
+    out = run_pgo_demo(
+        seed=args.seed,
+        huber_delta=args.huber_delta,
+        use_priors=not args.no_priors,
+    )
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="mlis_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd")
@@ -429,6 +443,18 @@ def main(argv=None) -> int:
     sub.add_parser("bench", help="one-line JSON benchmark")
 
     p = sub.add_parser(
+        "pgo",
+        help="pose-graph optimization demo: gate -> ContextualPriorFactor "
+        "factors -> on-chip Gauss-Newton -> ATE (gated vs ungated vs "
+        "odometry-only)",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--huber-delta", type=float, default=None,
+                   help="robust kernel on between-factors (default off)")
+    p.add_argument("--no-priors", action="store_true",
+                   help="drop the floor z-priors + elevator dz factor")
+
+    p = sub.add_parser(
         "check-data",
         help="validate dataset presence (trajectories per algorithm, "
         "optional bag readability) — `make check-data` equivalent",
@@ -461,6 +487,8 @@ def main(argv=None) -> int:
         return _cmd_check_data(args)
     if args.cmd == "layout":
         return _cmd_layout(args)
+    if args.cmd == "pgo":
+        return _cmd_pgo(args)
     parser.print_help()
     return 1
 

@@ -1,0 +1,248 @@
+"""TPU-native SE(3) pose-graph optimizer (Gauss-Newton + matrix-free CG).
+
+Consumes the semantic gate's own factor emitters end-to-end: between
+factors for odometry and (gated) loop closures, the per-pose z priors
+from `gating.gate.ContextualPriorFactor.floor_priors`, and elevator
+dz transition factors (reference loop_closure_gate.py:151-213 emits
+these for GTSAM; the reference never ships an optimizer — the upstream
+SLAM systems own it. Here the whole solve runs on-chip).
+
+Design (TPU-first, no GTSAM translation):
+- All factor sets are PADDED, MASKED, static-shape arrays (a pytree
+  NamedTuple) — one compiled program serves any graph up to the pad.
+- The normal equations (J^T J + lam I) p = -J^T r are solved MATRIX-FREE:
+  J v via `jax.jvp`, J^T u via `jax.vjp`, conjugate gradient as a fixed-
+  length `lax.scan`. No Jacobian is ever materialized; each CG step is
+  two sweeps over the factor graph (batched 3x3/4x4 einsums — MXU work).
+- Gauss-Newton outer loop is another `lax.scan`; the retraction is the
+  right perturbation T <- T @ Exp(xi) (opt/lie.py).
+- Gauge freedom is removed by a strong 6-dof anchor factor on pose 0.
+
+Cost scaling: one CG step is O(E) fused small einsums; the demo-scale
+graphs (N ~ 1e3, E ~ N) solve in milliseconds once compiled.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlis_tpu.opt.lie import (
+    se3_compose,
+    se3_inv,
+    se3_log,
+    se3_retract,
+)
+
+
+class PoseGraphFactors(NamedTuple):
+    """Padded, masked factor arrays (a JAX pytree).
+
+    Between factors measure Z = T_i^-1 T_j; residual = Log(Z^-1 T_i^-1 T_j)
+    weighted per-component by `edge_w` ([rho x3, omega x3] sqrt-information).
+    Z priors pull pose z toward the floor-height expectation; dz factors
+    constrain elevator transitions (z_j - z_i = expected dz).
+    """
+
+    edge_i: jnp.ndarray  # (E,) int32
+    edge_j: jnp.ndarray  # (E,) int32
+    edge_R: jnp.ndarray  # (E, 3, 3) measured relative rotation
+    edge_t: jnp.ndarray  # (E, 3) measured relative translation
+    edge_w: jnp.ndarray  # (E, 6) sqrt-information per tangent component
+    edge_mask: jnp.ndarray  # (E,) 1.0 = live factor, 0.0 = padding
+    prior_z: jnp.ndarray  # (N,) expected z per pose
+    prior_w: jnp.ndarray  # (N,) 1/sigma_z
+    prior_mask: jnp.ndarray  # (N,)
+    dz_i: jnp.ndarray  # (D,) int32
+    dz_j: jnp.ndarray  # (D,) int32
+    dz: jnp.ndarray  # (D,) expected z_j - z_i
+    dz_w: jnp.ndarray  # (D,) 1/sigma_dz
+    dz_mask: jnp.ndarray  # (D,)
+
+
+def _empty_like(n: int) -> Dict[str, np.ndarray]:
+    return {
+        "prior_z": np.zeros(n, np.float32),
+        "prior_w": np.zeros(n, np.float32),
+        "prior_mask": np.zeros(n, np.float32),
+        "dz_i": np.zeros(1, np.int32),
+        "dz_j": np.zeros(1, np.int32),
+        "dz": np.zeros(1, np.float32),
+        "dz_w": np.zeros(1, np.float32),
+        "dz_mask": np.zeros(1, np.float32),
+    }
+
+
+def build_factors(
+    n_poses: int,
+    edges: Sequence[Tuple[int, int]],
+    edge_R: np.ndarray,
+    edge_t: np.ndarray,
+    sigma_rho: float = 0.05,
+    sigma_omega: float = 0.01,
+    edge_sigmas: Optional[np.ndarray] = None,  # (E, 2) per-edge overrides
+    prior_z: Optional[np.ndarray] = None,
+    sigma_z: float = 0.5,
+    dz_edges: Sequence[Tuple[int, int, float]] = (),
+    sigma_dz: float = 0.3,
+    pad_edges: Optional[int] = None,
+) -> PoseGraphFactors:
+    """Assemble a PoseGraphFactors pytree from host-side lists.
+
+    `prior_z` is typically `ContextualPriorFactor.floor_priors()[0]`;
+    `dz_edges` are (i, j, expected_dz) from elevator transition factors.
+    `pad_edges` rounds the between-factor count up (power-of-two padding
+    keeps recompiles rare as gated loop-closure sets change size).
+    """
+    e = len(edges)
+    pad = pad_edges or max(1, 1 << (e - 1).bit_length() if e else 1)
+    assert pad >= e, (pad, e)
+    ei = np.zeros(pad, np.int32)
+    ej = np.zeros(pad, np.int32)
+    eR = np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))
+    et = np.zeros((pad, 3), np.float32)
+    ew = np.zeros((pad, 6), np.float32)
+    em = np.zeros(pad, np.float32)
+    if e:
+        ei[:e] = [i for i, _ in edges]
+        ej[:e] = [j for _, j in edges]
+        eR[:e] = np.asarray(edge_R, np.float32)
+        et[:e] = np.asarray(edge_t, np.float32)
+        if edge_sigmas is None:
+            edge_sigmas = np.tile(
+                np.asarray([[sigma_rho, sigma_omega]], np.float32), (e, 1)
+            )
+        ew[:e, :3] = 1.0 / edge_sigmas[:, :1]
+        ew[:e, 3:] = 1.0 / edge_sigmas[:, 1:2]
+        em[:e] = 1.0
+
+    rest = _empty_like(n_poses)
+    if prior_z is not None:
+        rest["prior_z"] = np.asarray(prior_z, np.float32)
+        rest["prior_w"] = np.full(n_poses, 1.0 / sigma_z, np.float32)
+        rest["prior_mask"] = np.ones(n_poses, np.float32)
+    if dz_edges:
+        d = len(dz_edges)
+        rest["dz_i"] = np.asarray([i for i, _, _ in dz_edges], np.int32)
+        rest["dz_j"] = np.asarray([j for _, j, _ in dz_edges], np.int32)
+        rest["dz"] = np.asarray([v for _, _, v in dz_edges], np.float32)
+        rest["dz_w"] = np.full(d, 1.0 / sigma_dz, np.float32)
+        rest["dz_mask"] = np.ones(d, np.float32)
+    return PoseGraphFactors(
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        edge_R=jnp.asarray(eR),
+        edge_t=jnp.asarray(et),
+        edge_w=jnp.asarray(ew),
+        edge_mask=jnp.asarray(em),
+        **{k: jnp.asarray(v) for k, v in rest.items()},
+    )
+
+
+def _residuals(xi, R, t, f: PoseGraphFactors, anchor, huber_delta):
+    """Flat weighted residual vector at tangent perturbation xi (N, 6)."""
+    Rp, tp = se3_retract(R, t, xi)
+    # between factors: Log(Z^-1 * T_i^-1 * T_j)
+    Ri_inv, ti_inv = se3_inv(Rp[f.edge_i], tp[f.edge_i])
+    Rrel, trel = se3_compose(Ri_inv, ti_inv, Rp[f.edge_j], tp[f.edge_j])
+    Zi_R, Zi_t = se3_inv(f.edge_R, f.edge_t)
+    Rerr, terr = se3_compose(Zi_R, Zi_t, Rrel, trel)
+    r_edge = se3_log(Rerr, terr) * f.edge_w * f.edge_mask[:, None]  # (E, 6)
+    if huber_delta is not None:
+        # IRLS-style robust reweighting: scale each edge's residual block by
+        # sqrt(w_huber); the weight itself is frozen (stop_gradient) so GN
+        # sees a quadratic local model
+        nrm = jnp.sqrt(jnp.sum(r_edge**2, axis=-1) + 1e-12)
+        w = jnp.minimum(1.0, huber_delta / nrm)
+        r_edge = r_edge * jnp.sqrt(jax.lax.stop_gradient(w))[:, None]
+    r_prior = (tp[:, 2] - f.prior_z) * f.prior_w * f.prior_mask  # (N,)
+    r_dz = (
+        (tp[f.dz_j, 2] - tp[f.dz_i, 2] - f.dz) * f.dz_w * f.dz_mask
+    )  # (D,)
+    # 6-dof gauge anchor on pose 0
+    aR_inv, at_inv = se3_inv(anchor[0], anchor[1])
+    r_anchor = se3_log(*se3_compose(aR_inv, at_inv, Rp[0], tp[0])) * 1e3
+    return jnp.concatenate(
+        [r_edge.ravel(), r_prior, r_dz, r_anchor]
+    )
+
+
+def _cg(matvec, b, iters: int):
+    """Fixed-iteration conjugate gradient (lax.scan); x0 = 0."""
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = matvec(p)
+        denom = jnp.maximum(jnp.vdot(p, Ap), 1e-20)
+        alpha = rs / denom
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / jnp.maximum(rs, 1e-20)) * p
+        return (x, r, p, rs_new), None
+
+    x0 = jnp.zeros_like(b)
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (x0, b, b, jnp.vdot(b, b)), None, length=iters
+    )
+    return x
+
+
+def optimize_pose_graph(
+    R0: jnp.ndarray,  # (N, 3, 3) initial rotations
+    t0: jnp.ndarray,  # (N, 3) initial translations
+    factors: PoseGraphFactors,
+    num_iters: int = 15,
+    cg_iters: int = 64,
+    damping: float = 1e-6,
+    huber_delta: Optional[float] = None,
+):
+    """Jitted Gauss-Newton over the factor graph.
+
+    Returns (R, t, cost_trace) where cost_trace has num_iters + 1 entries
+    (initial cost first). Matrix-free: each CG step evaluates one jvp and
+    one vjp of the residual sweep.
+    """
+    return _optimize_jit(
+        R0, t0, factors, num_iters, cg_iters, damping,
+        -1.0 if huber_delta is None else float(huber_delta),
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 6))
+def _optimize_jit(R0, t0, factors, num_iters, cg_iters, damping, huber_delta):
+    anchor = (R0[0], t0[0])
+    hd = None if huber_delta < 0 else huber_delta
+
+    def gn_step(carry, _):
+        R, t = carry
+
+        def res(xi):
+            return _residuals(xi, R, t, factors, anchor, hd)
+
+        zero = jnp.zeros((R.shape[0], 6), R.dtype)
+        r0, pullback = jax.vjp(res, zero)
+        b = -pullback(r0)[0]
+
+        def normal_matvec(v):
+            jv = jax.jvp(res, (zero,), (v,))[1]
+            return pullback(jv)[0] + damping * v
+
+        step = _cg(normal_matvec, b, cg_iters)
+        Rn, tn = se3_retract(R, t, step)
+        # re-orthonormalize accumulated rotations (float32 drift)
+        u, _, vt = jnp.linalg.svd(Rn)
+        Rn = u @ vt
+        cost = 0.5 * jnp.vdot(r0, r0)
+        return (Rn, tn), cost
+
+    r_init = _residuals(
+        jnp.zeros((R0.shape[0], 6), R0.dtype), R0, t0, factors, anchor, hd
+    )
+    cost0 = 0.5 * jnp.vdot(r_init, r_init)
+    (R, t), costs = jax.lax.scan(gn_step, (R0, t0), None, length=num_iters)
+    return R, t, jnp.concatenate([cost0[None], costs])
