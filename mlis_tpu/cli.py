@@ -368,7 +368,16 @@ def _cmd_pgo(args) -> int:
         seed=args.seed,
         huber_delta=args.huber_delta,
         use_priors=not args.no_priors,
+        return_trajectories=bool(args.figure),
     )
+    if args.figure:
+        from mlis_tpu.viz.figures import plot_pgo_comparison
+
+        plot_pgo_comparison(
+            out.pop("gt_t"), out.pop("trajectories"),
+            out.pop("floor_labels"), args.figure,
+        )
+        out["figure"] = args.figure
     print(json.dumps(out, indent=2))
     return 0
 
@@ -453,6 +462,7 @@ def main(argv=None) -> int:
                    help="robust kernel on between-factors (default off)")
     p.add_argument("--no-priors", action="store_true",
                    help="drop the floor z-priors + elevator dz factor")
+    p.add_argument("--figure", help="write a 3D GT-vs-variants comparison PNG")
 
     p = sub.add_parser(
         "check-data",

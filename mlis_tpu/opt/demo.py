@@ -213,9 +213,11 @@ def run_pgo_demo(
     cg_iters: int = 256,
     huber_delta: float = None,
     use_priors: bool = True,
+    return_trajectories: bool = False,
 ) -> Dict:
     """Full chain: scene -> candidates -> gate -> factors -> on-chip GN ->
-    ATE. Returns a flat JSON-ready dict."""
+    ATE. Returns a flat JSON-ready dict (plus a non-JSON "trajectories"
+    entry for viz.figures.plot_pgo_comparison when requested)."""
     scene = build_multifloor_scene(laps=laps, seed=seed)
     gt_R, gt_t = scene["gt_R"], scene["gt_t"]
     labels = scene["floor_labels"]
@@ -263,6 +265,7 @@ def run_pgo_demo(
             "ate_rmse": float(ate["rmse"]),
             "ate_max": float(ate["max"]),
             "cost_final": float(np.asarray(costs)[-1]),
+            "_t": np.asarray(t),
         }
 
     from mlis_tpu.eval.metrics import compute_ate
@@ -281,7 +284,16 @@ def run_pgo_demo(
     res_odo = solve(np.zeros(len(pairs), bool))
     res_gated = solve(accept)
     res_ungated = solve(np.ones(len(pairs), bool))
+    trajs = {
+        "odometry": res_odo.pop("_t"),
+        "gated": res_gated.pop("_t"),
+        "ungated": res_ungated.pop("_t"),
+    }
     out.update({f"odometry_{k}": v for k, v in res_odo.items()})
     out.update({f"gated_{k}": v for k, v in res_gated.items()})
     out.update({f"ungated_{k}": v for k, v in res_ungated.items()})
+    if return_trajectories:
+        out["trajectories"] = trajs
+        out["gt_t"] = gt_t
+        out["floor_labels"] = labels
     return out

@@ -561,3 +561,42 @@ def plot_rejection_rates(
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_pgo_comparison(
+    gt_t: np.ndarray,  # (N, 3) ground-truth positions
+    variants: Dict[str, np.ndarray],  # name -> (N, 3) optimized positions
+    floor_labels: np.ndarray,
+    path: str | Path,
+) -> Path:
+    """Side-by-side 3D views of pose-graph results (opt/demo.py): ground
+    truth vs each optimization variant (odometry-only / gated / ungated),
+    colored by floor. The visual counterpart of the gate's trajectory-
+    level ATE claim."""
+    n = len(variants)
+    fig = plt.figure(figsize=(5 * (n + 1), 5))
+    colors = _floor_colors(floor_labels)
+
+    def draw(ax, pts, title):
+        for f, c in colors.items():
+            m = floor_labels == f
+            ax.plot(pts[m, 0], pts[m, 1], pts[m, 2], ".", ms=2, color=c,
+                    label=f"floor {f}")
+        ax.set_title(title)
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        ax.set_zlabel("z [m]")
+
+    ax = fig.add_subplot(1, n + 1, 1, projection="3d")
+    draw(ax, np.asarray(gt_t), "ground truth")
+    ax.legend(loc="upper left", fontsize=8)
+    for k, (name, pts) in enumerate(variants.items()):
+        ax = fig.add_subplot(1, n + 1, k + 2, projection="3d")
+        err = np.linalg.norm(np.asarray(pts) - np.asarray(gt_t), axis=1)
+        rmse = float(np.sqrt((err**2).mean()))
+        draw(ax, np.asarray(pts), f"{name} (ATE {rmse:.2f} m)")
+    fig.tight_layout()
+    path = Path(path)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
