@@ -241,32 +241,47 @@ def run_pgo_demo(
     loop_sigmas = np.tile(np.asarray([[0.05, 0.01]], np.float32), (len(pairs), 1))
     odo_sigmas = np.tile(np.asarray([[0.03, 0.004]], np.float32), (len(odo_edges), 1))
 
-    def solve(closure_mask: np.ndarray) -> Dict:
+    def solve(closure_mask: np.ndarray, sc: bool = False) -> Dict:
         keep = np.nonzero(closure_mask)[0]
         edges = odo_edges + [tuple(pairs[i]) for i in keep]
         eR = np.concatenate([odo_R, mR[keep]], axis=0)
         et = np.concatenate([odo_t, mt[keep]], axis=0)
         sig = np.concatenate([odo_sigmas, loop_sigmas[keep]], axis=0)
+        switchable = (
+            np.concatenate(
+                [np.zeros(len(odo_edges), bool), np.ones(len(keep), bool)]
+            )
+            if sc
+            else None
+        )
         factors = build_factors(
             N, edges, eR, et,
             edge_sigmas=sig,
             prior_z=expected_z if use_priors else None,
             sigma_z=0.5,
             dz_edges=dz_edges if use_priors else (),
+            switchable=switchable,
         )
-        R, t, costs = optimize_pose_graph(
+        R, t, costs, switches = optimize_pose_graph(
             jnp.asarray(init_R), jnp.asarray(init_t), factors,
             num_iters=num_iters, cg_iters=cg_iters, huber_delta=huber_delta,
         )
         from mlis_tpu.eval.metrics import compute_ate
 
         ate = compute_ate(np.asarray(t), gt_t)
-        return {
+        out = {
             "ate_rmse": float(ate["rmse"]),
             "ate_max": float(ate["max"]),
             "cost_final": float(np.asarray(costs)[-1]),
             "_t": np.asarray(t),
         }
+        if sc:
+            # per-closure switch values, aligned with `keep`
+            sw = np.asarray(switches)[len(odo_edges) : len(odo_edges) + len(keep)]
+            truth = is_true[keep]
+            out["false_disabled"] = float((sw[~truth] < 0.5).mean()) if (~truth).any() else 1.0
+            out["true_kept"] = float((sw[truth] >= 0.5).mean()) if truth.any() else 1.0
+        return out
 
     from mlis_tpu.eval.metrics import compute_ate
 
@@ -284,14 +299,20 @@ def run_pgo_demo(
     res_odo = solve(np.zeros(len(pairs), bool))
     res_gated = solve(accept)
     res_ungated = solve(np.ones(len(pairs), bool))
+    # Switchable Constraints on ALL candidates: the classic robust-back-end
+    # alternative to gating (per-closure switch variables the optimizer can
+    # turn off) — the quantitative baseline for "why gate at the front end"
+    res_sc = solve(np.ones(len(pairs), bool), sc=True)
     trajs = {
         "odometry": res_odo.pop("_t"),
         "gated": res_gated.pop("_t"),
         "ungated": res_ungated.pop("_t"),
+        "ungated_sc": res_sc.pop("_t"),
     }
     out.update({f"odometry_{k}": v for k, v in res_odo.items()})
     out.update({f"gated_{k}": v for k, v in res_gated.items()})
     out.update({f"ungated_{k}": v for k, v in res_ungated.items()})
+    out.update({f"sc_{k}": v for k, v in res_sc.items()})
     if return_trajectories:
         out["trajectories"] = trajs
         out["gt_t"] = gt_t

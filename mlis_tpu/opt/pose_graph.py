@@ -54,6 +54,7 @@ class PoseGraphFactors(NamedTuple):
     edge_t: jnp.ndarray  # (E, 3) measured relative translation
     edge_w: jnp.ndarray  # (E, 6) sqrt-information per tangent component
     edge_mask: jnp.ndarray  # (E,) 1.0 = live factor, 0.0 = padding
+    edge_switch: jnp.ndarray  # (E,) 1.0 = switchable loop edge (SC mode)
     prior_z: jnp.ndarray  # (N,) expected z per pose
     prior_w: jnp.ndarray  # (N,) 1/sigma_z
     prior_mask: jnp.ndarray  # (N,)
@@ -90,6 +91,8 @@ def build_factors(
     dz_edges: Sequence[Tuple[int, int, float]] = (),
     sigma_dz: float = 0.3,
     pad_edges: Optional[int] = None,
+    switchable: Optional[np.ndarray] = None,  # (E,) bool: loop edges that
+    # get a Switchable-Constraints variable (Suenderhauf & Protzel 2012)
 ) -> PoseGraphFactors:
     """Assemble a PoseGraphFactors pytree from host-side lists.
 
@@ -107,6 +110,7 @@ def build_factors(
     et = np.zeros((pad, 3), np.float32)
     ew = np.zeros((pad, 6), np.float32)
     em = np.zeros(pad, np.float32)
+    esw = np.zeros(pad, np.float32)
     if e:
         ei[:e] = [i for i, _ in edges]
         ej[:e] = [j for _, j in edges]
@@ -119,6 +123,8 @@ def build_factors(
         ew[:e, :3] = 1.0 / edge_sigmas[:, :1]
         ew[:e, 3:] = 1.0 / edge_sigmas[:, 1:2]
         em[:e] = 1.0
+        if switchable is not None:
+            esw[:e] = np.asarray(switchable, np.float32)
 
     rest = _empty_like(n_poses)
     if prior_z is not None:
@@ -139,12 +145,21 @@ def build_factors(
         edge_t=jnp.asarray(et),
         edge_w=jnp.asarray(ew),
         edge_mask=jnp.asarray(em),
+        edge_switch=jnp.asarray(esw),
         **{k: jnp.asarray(v) for k, v in rest.items()},
     )
 
 
-def _residuals(xi, R, t, f: PoseGraphFactors, anchor, huber_delta):
-    """Flat weighted residual vector at tangent perturbation xi (N, 6)."""
+def _residuals(xi, ds, R, t, s, f: PoseGraphFactors, anchor, huber_delta,
+               switch_prior_w):
+    """Flat weighted residual vector at tangent perturbation xi (N, 6) and
+    switch perturbation ds (E,) around switch state s (E,).
+
+    Switchable Constraints (Suenderhauf & Protzel, IROS 2012): each loop
+    edge with f.edge_switch = 1 gets a scalar s that SCALES its residual,
+    plus a prior (1 - s) pulling it on; the optimizer turns outlier
+    closures off by driving their s to 0. Rigid edges (odometry) keep
+    scale 1."""
     Rp, tp = se3_retract(R, t, xi)
     # between factors: Log(Z^-1 * T_i^-1 * T_j)
     Ri_inv, ti_inv = se3_inv(Rp[f.edge_i], tp[f.edge_i])
@@ -152,6 +167,11 @@ def _residuals(xi, R, t, f: PoseGraphFactors, anchor, huber_delta):
     Zi_R, Zi_t = se3_inv(f.edge_R, f.edge_t)
     Rerr, terr = se3_compose(Zi_R, Zi_t, Rrel, trel)
     r_edge = se3_log(Rerr, terr) * f.edge_w * f.edge_mask[:, None]  # (E, 6)
+    s_cur = s + ds
+    # clamp only the applied scale (gradient flows inside [0, 1]; the
+    # linear prior below pulls wanderers back into range)
+    scale = jnp.where(f.edge_switch > 0, jnp.clip(s_cur, 0.0, 1.0), 1.0)
+    r_edge = r_edge * scale[:, None]
     if huber_delta is not None:
         # IRLS-style robust reweighting: scale each edge's residual block by
         # sqrt(w_huber); the weight itself is frozen (stop_gradient) so GN
@@ -159,6 +179,7 @@ def _residuals(xi, R, t, f: PoseGraphFactors, anchor, huber_delta):
         nrm = jnp.sqrt(jnp.sum(r_edge**2, axis=-1) + 1e-12)
         w = jnp.minimum(1.0, huber_delta / nrm)
         r_edge = r_edge * jnp.sqrt(jax.lax.stop_gradient(w))[:, None]
+    r_switch = (1.0 - s_cur) * switch_prior_w * f.edge_switch * f.edge_mask
     r_prior = (tp[:, 2] - f.prior_z) * f.prior_w * f.prior_mask  # (N,)
     r_dz = (
         (tp[f.dz_j, 2] - tp[f.dz_i, 2] - f.dz) * f.dz_w * f.dz_mask
@@ -167,7 +188,7 @@ def _residuals(xi, R, t, f: PoseGraphFactors, anchor, huber_delta):
     aR_inv, at_inv = se3_inv(anchor[0], anchor[1])
     r_anchor = se3_log(*se3_compose(aR_inv, at_inv, Rp[0], tp[0])) * 1e3
     return jnp.concatenate(
-        [r_edge.ravel(), r_prior, r_dz, r_anchor]
+        [r_edge.ravel(), r_switch, r_prior, r_dz, r_anchor]
     )
 
 
@@ -200,31 +221,48 @@ def optimize_pose_graph(
     cg_iters: int = 64,
     damping: float = 1e-6,
     huber_delta: Optional[float] = None,
+    # Switchable-Constraints prior weight (1/sigma of the s -> 1 pull).
+    # SC is known to be sensitive to this (Suenderhauf's Xi tuning): on
+    # the demo scene w=10 cleanly disables exactly the false closures,
+    # w=5 lands in a bad local minimum, w<=2 turns true closures off too
+    # (measured sweep in BENCH_NOTES.md).
+    switch_prior_w: float = 10.0,
 ):
     """Jitted Gauss-Newton over the factor graph.
 
-    Returns (R, t, cost_trace) where cost_trace has num_iters + 1 entries
-    (initial cost first). Matrix-free: each CG step evaluates one jvp and
-    one vjp of the residual sweep.
+    Returns (R, t, cost_trace, switches): cost_trace has num_iters + 1
+    entries (initial cost first); switches (E,) are the final Switchable-
+    Constraints values for edges flagged in factors.edge_switch (1.0
+    elsewhere). Matrix-free: each CG step evaluates one jvp and one vjp
+    of the residual sweep; the switch variables ride the same flat
+    parameter vector as the pose tangents.
     """
     return _optimize_jit(
         R0, t0, factors, num_iters, cg_iters, damping,
         -1.0 if huber_delta is None else float(huber_delta),
+        float(switch_prior_w),
     )
 
 
 @partial(jax.jit, static_argnums=(3, 4, 6))
-def _optimize_jit(R0, t0, factors, num_iters, cg_iters, damping, huber_delta):
+def _optimize_jit(R0, t0, factors, num_iters, cg_iters, damping, huber_delta,
+                  switch_prior_w):
     anchor = (R0[0], t0[0])
     hd = None if huber_delta < 0 else huber_delta
+    N = R0.shape[0]
+    E = factors.edge_i.shape[0]
 
     def gn_step(carry, _):
-        R, t = carry
+        R, t, s = carry
 
-        def res(xi):
-            return _residuals(xi, R, t, factors, anchor, hd)
+        def res(p):
+            xi = p[: N * 6].reshape(N, 6)
+            ds = p[N * 6 :]
+            return _residuals(
+                xi, ds, R, t, s, factors, anchor, hd, switch_prior_w
+            )
 
-        zero = jnp.zeros((R.shape[0], 6), R.dtype)
+        zero = jnp.zeros(N * 6 + E, R.dtype)
         r0, pullback = jax.vjp(res, zero)
         b = -pullback(r0)[0]
 
@@ -233,16 +271,19 @@ def _optimize_jit(R0, t0, factors, num_iters, cg_iters, damping, huber_delta):
             return pullback(jv)[0] + damping * v
 
         step = _cg(normal_matvec, b, cg_iters)
-        Rn, tn = se3_retract(R, t, step)
+        Rn, tn = se3_retract(R, t, step[: N * 6].reshape(N, 6))
+        sn = s + step[N * 6 :]
         # re-orthonormalize accumulated rotations (float32 drift)
         u, _, vt = jnp.linalg.svd(Rn)
         Rn = u @ vt
         cost = 0.5 * jnp.vdot(r0, r0)
-        return (Rn, tn), cost
+        return (Rn, tn, sn), cost
 
+    s0 = jnp.ones(E, R0.dtype)
     r_init = _residuals(
-        jnp.zeros((R0.shape[0], 6), R0.dtype), R0, t0, factors, anchor, hd
+        jnp.zeros((N, 6), R0.dtype), jnp.zeros(E, R0.dtype),
+        R0, t0, s0, factors, anchor, hd, switch_prior_w,
     )
     cost0 = 0.5 * jnp.vdot(r_init, r_init)
-    (R, t), costs = jax.lax.scan(gn_step, (R0, t0), None, length=num_iters)
-    return R, t, jnp.concatenate([cost0[None], costs])
+    (R, t, s), costs = jax.lax.scan(gn_step, (R0, t0, s0), None, length=num_iters)
+    return R, t, jnp.concatenate([cost0[None], costs]), s

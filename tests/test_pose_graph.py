@@ -103,7 +103,7 @@ def _circle_graph(N=48, noise_seed=0, with_loop=True):
 def test_gauss_newton_reduces_ate_and_cost():
     gt_R, gt_t, edges, eR, et, R0, t0 = _circle_graph()
     f = build_factors(len(gt_t), edges, eR, et, sigma_rho=0.05, sigma_omega=0.02)
-    R, t, costs = optimize_pose_graph(
+    R, t, costs, _ = optimize_pose_graph(
         jnp.asarray(R0), jnp.asarray(t0), f, num_iters=10, cg_iters=64
     )
     costs = np.asarray(costs)
@@ -124,7 +124,7 @@ def test_gauss_newton_reduces_ate_and_cost():
 def test_anchor_fixes_gauge():
     gt_R, gt_t, edges, eR, et, R0, t0 = _circle_graph(N=24)
     f = build_factors(len(gt_t), edges, eR, et)
-    R, t, _ = optimize_pose_graph(
+    R, t, _, _ = optimize_pose_graph(
         jnp.asarray(R0), jnp.asarray(t0), f, num_iters=5, cg_iters=48
     )
     assert np.abs(np.asarray(t)[0] - t0[0]).max() < 1e-3
@@ -141,7 +141,7 @@ def test_z_priors_pull_floor_height():
         len(gt_t), edges, eR, et,
         prior_z=np.zeros(len(gt_t), np.float32), sigma_z=0.2,
     )
-    R, t, _ = optimize_pose_graph(
+    R, t, _, _ = optimize_pose_graph(
         jnp.asarray(R0), jnp.asarray(t0), f, num_iters=10, cg_iters=64
     )
     assert float(np.abs(np.asarray(t)[:, 2]).max()) < 0.35
@@ -172,3 +172,19 @@ def test_huber_tempers_false_closures():
         plain["ungated_ate_rmse"], robust["ungated_ate_rmse"],
     )
     assert robust["gated_ate_rmse"] < robust["ungated_ate_rmse"]
+
+
+def test_switchable_constraints_disable_false_closures():
+    """Switchable Constraints (the robust-back-end baseline) at the tuned
+    prior weight disables exactly the aliased cross-floor closures and
+    matches the gated solve — while needing a per-scene-sensitive weight
+    and paying full verification + extra unknowns for every candidate
+    the gate would have dropped at label-lookup cost."""
+    from mlis_tpu.opt.demo import run_pgo_demo
+
+    out = run_pgo_demo(seed=0)
+    assert out["sc_false_disabled"] == 1.0, out
+    assert out["sc_true_kept"] >= 0.9, out
+    assert out["sc_ate_rmse"] < 1.5 * out["gated_ate_rmse"], out
+    # and far below the non-robust ungated solve
+    assert out["sc_ate_rmse"] < 0.25 * out["ungated_ate_rmse"], out
