@@ -188,3 +188,23 @@ def test_switchable_constraints_disable_false_closures():
     assert out["sc_ate_rmse"] < 1.5 * out["gated_ate_rmse"], out
     # and far below the non-robust ungated solve
     assert out["sc_ate_rmse"] < 0.25 * out["ungated_ate_rmse"], out
+
+
+@pytest.mark.slow
+def test_pgo_real_lego_loam_scale():
+    """Real-data scale: the published LeGO-LOAM trajectory (2,406 poses)
+    with its exact candidate set (87,044 / 21,477 same-floor / 65,567
+    cross-floor re-derived in-run). Gating converts the reference's
+    headline rejection statistic into trajectory error."""
+    import os
+
+    from mlis_tpu.opt.scale import run_pgo_real
+
+    if not os.path.isdir("/root/reference/results/trajectories"):
+        pytest.skip("reference trajectories not present")
+    out = run_pgo_real(closure_stride=16, num_iters=12, cg_iters=1024)
+    assert (out["candidates"], out["same_floor"], out["cross_floor"]) == (
+        87044, 21477, 65567,
+    )
+    assert out["gated_ate_rmse"] < 0.2 * out["odometry_ate_rmse"], out
+    assert out["ungated_ate_rmse"] > 2.0 * out["odometry_ate_rmse"], out
