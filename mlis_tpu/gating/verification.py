@@ -333,6 +333,33 @@ class GeometricVerifier:
                 )
                 for p in range(len(images0))
             ]
+        elif getattr(self.matcher, "dense_matcher", False):
+            # dense detector-free matcher (LoFTR): match_batch returns
+            # already-paired points (DenseMatches), no keypoint indices
+            dm = self.matcher.match_batch(
+                jnp.asarray(images0), jnp.asarray(images1)
+            )
+            res, T, _good = essential_ransac_batch(
+                dm.kpts0,
+                dm.kpts1,
+                dm.valid,
+                jnp.asarray(K, jnp.float32),
+                jax.random.PRNGKey(seed),
+                threshold_px=self.ransac_threshold,
+            )
+            P = int(dm.valid.shape[0])
+            n_match = np.asarray(jnp.sum(dm.valid, axis=1))
+            n_inl = np.asarray(res.num_inliers)
+            ratios = np.asarray(res.inlier_ratio)
+            Es = np.asarray(res.E)
+            Ts = np.asarray(T)
+            # detector-free: "detected" keypoints == matched points
+            n_kp0 = n_kp1 = n_match
+            n_conf = (
+                np.asarray(jnp.sum(dm.valid & (dm.scores >= 0.5), axis=1))
+                if getattr(self.matcher, "confidence_is_calibrated", False)
+                else np.full(P, -1)
+            )
         else:
             kp0, kp1, matches = self.matcher.match_batch(
                 jnp.asarray(images0), jnp.asarray(images1)

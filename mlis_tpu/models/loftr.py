@@ -528,6 +528,11 @@ class OfficialLoFTRMatcher(nn.Module):
 class LoFTR(BaseFeatureMatcher):
     """Batched dense matcher with the reference's resize/rescale contract."""
 
+    # match_batch returns DenseMatches (already-paired points), not
+    # (Keypoints, Keypoints, Matches) — GeometricVerifier.verify_pairs_batch
+    # dispatches on this
+    dense_matcher = True
+
     def __init__(self, cfg: Optional[LoFTRConfig] = None, seed: int = 0):
         self.cfg = cfg or LoFTRConfig()
         self.net = (
@@ -555,9 +560,42 @@ class LoFTR(BaseFeatureMatcher):
             d = jnp.zeros((1, *shape, 1), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(self._seed), d, d)
 
+    def save_weights(self, path: str) -> None:
+        """Ship in-env trained weights (train/loftr_trainer.py) as one npz."""
+        from mlis_tpu.models.weights import save_params_npz
+
+        save_params_npz(path, loftr=self.params["params"])
+
+    def load_weights(self, path: str, image_hw=(264, 360)) -> None:
+        """Load a save_weights npz. image_hw only shapes the param init
+        (convs/attention are size-agnostic); any multiple of 8 works."""
+        import jax as _jax
+
+        from mlis_tpu.models.convert import _match_dtypes
+        from mlis_tpu.models.weights import load_params_npz
+
+        trees = load_params_npz(path)
+        self._init((int(image_hw[0]), int(image_hw[1])))
+        self.params = _jax.device_put(
+            _match_dtypes({"params": trees["loftr"]}, self.params)
+        )
+        self._jit = {}
+
     def match_batch(self, images0: jnp.ndarray, images1: jnp.ndarray) -> DenseMatches:
-        """(B, H, W, 1) grayscale in [0,1]; H, W multiples of 8."""
+        """(B, H, W, 1) grayscale in [0,1]. Non-multiple-of-8 sizes are
+        resized down to the nearest multiple (the reference's kornia
+        contract, geometric_verification.py:469-526) and keypoints are
+        rescaled back to input pixels."""
         H, W = int(images0.shape[1]), int(images0.shape[2])
+        h8, w8 = (H // 8) * 8, (W // 8) * 8
+        if (h8, w8) != (H, W):
+            shape = (int(images0.shape[0]), h8, w8, 1)
+            m = self.match_batch(
+                jax.image.resize(images0, shape, method="linear"),
+                jax.image.resize(images1, shape, method="linear"),
+            )
+            s = jnp.asarray([W / w8, H / h8], jnp.float32)
+            return DenseMatches(m.kpts0 * s, m.kpts1 * s, m.scores, m.valid)
         self._init((H, W))
         key = (H, W)
         if key not in self._jit and self.cfg.official:

@@ -1,0 +1,141 @@
+"""Full-size LoFTR homography pretraining driver.
+
+The reference's LoFTR rows run kornia's pretrained indoor checkpoint
+(geometric_verification.py:469-526); this driver produces the in-env
+equivalent for the lite (linear-attention) LoFTR — the same procedural-
+texture homography self-supervision that trained the shipped LightGlue
+checkpoint (train/pretrain_matcher.py), with LoFTR's own coarse
+dual-softmax + fine spatial-expectation losses (train/loftr_trainer.py).
+
+Run: python -m mlis_tpu.train.pretrain_loftr --steps 4000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+
+
+def main(argv=None) -> dict:
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--chunk", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--peak-lr", type=float, default=2e-4)
+    ap.add_argument("--warmup", type=int, default=200)
+    ap.add_argument("--eval-every", type=int, default=200)
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--eval-batch", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="checkpoints/loftr_homog.npz")
+    ap.add_argument("--init-from", help="warm-start from a save_weights npz")
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="tiny model + small images (CPU smoke test of the driver)",
+    )
+    args = ap.parse_args(argv)
+    if args.tiny:
+        args.height, args.width = 64, 96
+        args.eval_batch = 4
+
+    from mlis_tpu.models.loftr import LoFTR, LoFTRConfig
+    from mlis_tpu.train.loftr_trainer import LoFTRTrainer
+    from mlis_tpu.train.matcher_trainer import synthetic_textures
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    log_path = out.with_name(out.stem + "_log.json")
+
+    lf = LoFTR(
+        LoFTRConfig.tiny_test() if args.tiny else LoFTRConfig(), seed=args.seed
+    )
+    if args.init_from:
+        lf.load_weights(args.init_from, image_hw=(args.height, args.width))
+        print(f"warm-started from {args.init_from}", flush=True)
+    warmup = min(args.warmup, max(args.steps // 4, 1))
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=args.peak_lr,
+        warmup_steps=warmup,
+        decay_steps=args.steps,
+        end_value=1e-6,
+    )
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
+    trainer = LoFTRTrainer(
+        lf, (args.height, args.width), optimizer=optimizer, seed=args.seed
+    )
+
+    eval_imgs = np.asarray(
+        synthetic_textures(
+            jax.random.PRNGKey(10_000 + args.seed),
+            args.eval_batch, args.height, args.width,
+        )
+    )
+
+    history = {
+        "config": {k: getattr(args, k.replace("-", "_")) for k in (
+            "steps", "chunk", "batch", "height", "width",
+            "peak_lr", "warmup", "seed",
+        )},
+        "loss": [],
+        "eval": [],
+    }
+
+    m0 = trainer.match_metrics(eval_imgs)
+    print(f"step 0: recall={m0['recall']:.4f} precision={m0['precision']:.4f} "
+          f"n_gt={m0['n_gt']} n_pred={m0['n_pred']}", flush=True)
+    history["eval"].append((0, m0["recall"], m0["precision"]))
+    best_recall = m0["recall"]
+    saved_best = False
+
+    done = 0
+    t0 = time.time()
+    next_eval = args.eval_every
+    next_save = args.save_every
+    while done < args.steps:
+        n = min(args.chunk, args.steps - done)
+        losses = trainer.train_chunk(n, batch_size=args.batch)
+        done += n
+        history["loss"].append((done, float(losses.mean())))
+        rate = done / (time.time() - t0)
+        print(f"step {done}/{args.steps}: loss={losses.mean():.4f} "
+              f"(last {losses[-1]:.4f}) {rate:.2f} steps/s", flush=True)
+        if done >= next_eval or done >= args.steps:
+            next_eval += args.eval_every
+            m = trainer.match_metrics(eval_imgs)
+            history["eval"].append((done, m["recall"], m["precision"]))
+            print(f"  eval@{done}: recall={m['recall']:.4f} "
+                  f"precision={m['precision']:.4f} n_pred={m['n_pred']}",
+                  flush=True)
+            if m["recall"] > best_recall or not saved_best:
+                best_recall = max(best_recall, m["recall"])
+                trainer.save_checkpoint(str(out))
+                saved_best = True
+                print(f"  saved best checkpoint (recall {best_recall:.4f})",
+                      flush=True)
+        if done >= next_save:
+            next_save += args.save_every
+            trainer.save_checkpoint(str(out.with_suffix(".latest.npz")))
+        log_path.write_text(json.dumps(history))
+
+    history["best_recall"] = best_recall
+    history["wall_s"] = time.time() - t0
+    log_path.write_text(json.dumps(history))
+    print(f"done: best held-out recall {best_recall:.4f} "
+          f"in {history['wall_s']:.0f}s", flush=True)
+    return history
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,16 @@ def main(argv=None) -> dict:
     ap.add_argument("--eval-batch", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
-        "--out", default="checkpoints/lightglue_homog.npz",
-        help="checkpoint path (best held-out recall)",
+        "--arch", choices=("lightglue", "superglue"), default="lightglue",
+        help="matcher head: dual-softmax LightGlue (default) or the "
+        "Sinkhorn-dustbin SuperGlue variant (models/lightglue.py:598); "
+        "the homography self-supervision is identical — the sinkhorn "
+        "path's 1-dustbin-mass matchability feeds the same BCE term",
+    )
+    ap.add_argument(
+        "--out", default=None,
+        help="checkpoint path (best held-out recall); default "
+        "checkpoints/<arch>_homog.npz",
     )
     ap.add_argument(
         "--init-from",
@@ -72,10 +80,12 @@ def main(argv=None) -> dict:
         args.kpts, args.height, args.width = 48, 64, 96
         args.eval_batch = 4
 
-    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig, SuperGlue
     from mlis_tpu.models.superpoint import SuperPointConfig
     from mlis_tpu.train.matcher_trainer import MatcherTrainer, synthetic_textures
 
+    if args.out is None:
+        args.out = f"checkpoints/{args.arch}_homog.npz"
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     log_path = out.with_name(out.stem + "_log.json")
@@ -84,14 +94,19 @@ def main(argv=None) -> dict:
     # the default seed, so the frozen SuperPoint filters in the checkpoint
     # match what an unadorned LightGlue() would initialize (the npz ships
     # them regardless, so this is belt-and-braces).
-    lg = LightGlue(
+    cls = SuperGlue if args.arch == "superglue" else LightGlue
+    lg = cls(
         sp_cfg=(
             SuperPointConfig.tiny_test(max_keypoints=args.kpts)
             if args.tiny
             else SuperPointConfig(max_keypoints=args.kpts)
         ),
         matcher_cfg=(
-            MatcherConfig.tiny_test() if args.tiny else MatcherConfig.lightglue()
+            MatcherConfig.tiny_test(
+                assignment="sinkhorn" if args.arch == "superglue" else "dual_softmax"
+            )
+            if args.tiny
+            else None  # __init__ falls back to cls.matcher_cfg_factory
         ),
         seed=args.seed,
     )

@@ -76,6 +76,11 @@ HEAVY_TESTS = {
     "test_full_gate.py::test_full_gate_match_top_k_prunes_but_preserves_pairs",
     "test_vpr_finetune.py::test_finetune_reduces_cross_floor_retrieval",
     "test_vpr_finetune.py::test_aliasing_set_construction",
+    "test_loftr_trainer.py::test_loftr_training_improves_recall",
+    "test_loftr_trainer.py::test_loftr_checkpoint_roundtrip",
+    "test_matcher_families.py::test_verify_pairs_batch_dense_matcher",
+    "test_matcher_families.py::test_verify_pairs_batch_dense_matches_single_pair_path",
+    "test_matcher_families.py::test_pretrain_matcher_superglue_arch",
 }
 
 
