@@ -252,6 +252,15 @@ def bench_quality() -> dict:
     # reference's headline claim (62-75% cross-floor rejection) into a
     # decision-quality delta
     no_gate = run_gate_quality("trained", scene=scene, floor_gate=False)
+    # third matcher family, only when its in-env-trained checkpoint ships
+    # (random-init LoFTR would just pay compiles to report f1~0)
+    from mlis_tpu.models.weights import default_loftr_checkpoint
+
+    loftr = (
+        run_gate_quality("loftr", scene=scene)
+        if default_loftr_checkpoint()
+        else None
+    )
     return {
         "metric": "gate_decision_f1",
         "value": round(trained["f1"], 3),
@@ -267,6 +276,12 @@ def bench_quality() -> dict:
         "f1_orb_fallback": round(orb["f1"], 3),
         "f1_no_floor_gate": round(no_gate["f1"], 3),
         "precision_no_floor_gate": round(no_gate["precision"], 3),
+        **(
+            {"f1_loftr": round(loftr["f1"], 3),
+             "loftr_weights": loftr["weights"]}
+            if loftr is not None
+            else {}
+        ),
     }
 
 

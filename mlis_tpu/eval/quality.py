@@ -182,7 +182,7 @@ def retrieval_recall(scene: QualityScene, encoder, top_k=5, threshold=0.5,
 
 
 def run_gate_quality(
-    matcher: str = "trained",  # 'trained' | 'random' | 'orb'
+    matcher: str = "trained",  # 'trained' | 'random' | 'orb' | 'loftr'
     # 'trained_vpr' (default; falls back to 'pixel' when the shipped
     # checkpoints/vpr_tiny.npz is absent) | 'pixel' | 'mixvpr'
     encoder: str = "trained_vpr",
@@ -219,6 +219,22 @@ def run_gate_quality(
     if matcher == "orb":
         verifier = GeometricVerifier(matcher_type="orb")
         weights = "orb_weight_free"
+    elif matcher == "loftr":
+        # dense detector-free family (reference: kornia LoFTR,
+        # geometric_verification.py:469-526); loads the in-env-trained
+        # checkpoint when shipped, else reports random_init
+        import os
+
+        from mlis_tpu.models.loftr import LoFTR
+        from mlis_tpu.models.weights import default_loftr_checkpoint
+
+        lf = LoFTR()
+        weights = "random_init"
+        path = weights_path or default_loftr_checkpoint()
+        if path and os.path.exists(path):
+            lf.load_weights(path, image_hw=hw)
+            weights = os.path.basename(path)
+        verifier = GeometricVerifier(matcher=lf)
     else:
         lg = LightGlue(
             sp_cfg=SuperPointConfig(max_keypoints=max_keypoints),

@@ -568,14 +568,15 @@ class LoFTR(BaseFeatureMatcher):
 
     def load_weights(self, path: str, image_hw=(264, 360)) -> None:
         """Load a save_weights npz. image_hw only shapes the param init
-        (convs/attention are size-agnostic); any multiple of 8 works."""
+        (convs/attention are size-agnostic); non-multiples of 8 are
+        rounded down like match_batch does."""
         import jax as _jax
 
         from mlis_tpu.models.convert import _match_dtypes
         from mlis_tpu.models.weights import load_params_npz
 
         trees = load_params_npz(path)
-        self._init((int(image_hw[0]), int(image_hw[1])))
+        self._init((int(image_hw[0]) // 8 * 8, int(image_hw[1]) // 8 * 8))
         self.params = _jax.device_put(
             _match_dtypes({"params": trees["loftr"]}, self.params)
         )

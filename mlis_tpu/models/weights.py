@@ -72,6 +72,18 @@ def default_matcher_checkpoint() -> str | None:
     return None
 
 
+def default_loftr_checkpoint() -> str | None:
+    """Path of the shipped in-env-trained LoFTR checkpoint
+    (train/pretrain_loftr.py homography self-supervision), or None."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    p = os.path.join(root, "checkpoints", "loftr_homog.npz")
+    return p if os.path.exists(p) else None
+
+
 def load_params_npz(path: str) -> Dict[str, Any]:
     """Load a save_params_npz file -> {name: param_tree} with f32 floats."""
     with np.load(path) as z:

@@ -81,6 +81,7 @@ HEAVY_TESTS = {
     "test_matcher_families.py::test_verify_pairs_batch_dense_matcher",
     "test_matcher_families.py::test_verify_pairs_batch_dense_matches_single_pair_path",
     "test_matcher_families.py::test_pretrain_matcher_superglue_arch",
+    "test_matcher_families.py::test_quality_bench_loftr_matcher",
 }
 
 

@@ -70,3 +70,19 @@ def test_pretrain_matcher_superglue_arch(tmp_path):
     sg.load_weights(out, image_hw=(64, 96))
     flat = jax.tree_util.tree_leaves(sg.params)
     assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in flat)
+
+
+def test_quality_bench_loftr_matcher():
+    # the quality bench's third matcher family: detector-free LoFTR runs
+    # the full gate end-to-end through the dense-matcher verify dispatch
+    # (random init here — decision quality is not asserted, wiring is)
+    from mlis_tpu.eval.quality import make_quality_scene, run_gate_quality
+
+    scene = make_quality_scene(n_places=2, hw=(64, 96))
+    out = run_gate_quality("loftr", scene=scene, weights_path="/nonexistent")
+    assert out["matcher"] == "loftr"
+    assert out["weights"] == "random_init"
+    assert out["total_candidates"] > 0
+    # the floor gate still rejects every aliased trap regardless of weights
+    assert out["gating_effectiveness"] == 1.0
+    assert 0.0 <= out["f1"] <= 1.0
