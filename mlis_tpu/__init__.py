@@ -57,6 +57,8 @@ _LAZY = {
     "ContextualPriorFactor": "mlis_tpu.gating.gate",
     # pipeline + integrations
     "SemanticGatingPipeline": "mlis_tpu.gating.pipeline",
+    "StreamingGate": "mlis_tpu.gating.streaming",
+    "StreamingMatches": "mlis_tpu.gating.streaming",
     "ORBSlam3SemanticIntegration": "mlis_tpu.gating.integration",
     "DroidSlamSemanticIntegration": "mlis_tpu.gating.integration",
     "LegoLoamSemanticIntegration": "mlis_tpu.gating.integration",
