@@ -17,6 +17,10 @@ Modes (MLIS_BENCH_MODE env):
         GT scene, trained vs random vs ORB (eval/quality.py).
   pgo — trajectory-level gate value: on-chip pose-graph optimization,
         gated vs ungated vs odometry-only ATE (opt/demo.py).
+  stream — online serving path: StreamingGate keyframes/sec at
+        production shapes (4096-entry ring buffer, 4096-d descriptors,
+        micro-batch 16); vs_baseline is the real-time factor against a
+        10 Hz keyframe stream.
   probe — tunnel-health probe (backend init + one tiny op round-trip).
 """
 
@@ -381,6 +385,42 @@ def _run_wrapped() -> int:
     return 1
 
 
+def bench_stream() -> dict:
+    """Online serving latency: StreamingGate (gating/streaming.py) at
+    production shapes — 4096-entry device-resident ring buffer, 4096-d
+    descriptors (MixVPR's output dim), micro-batch 16. Each micro-batch
+    is ONE fused dispatch (retrieval + floor gate + top-k + insert), so
+    through the tunnel this mostly measures dispatch RTT; on a directly
+    attached chip the per-batch device time is sub-millisecond."""
+    from mlis_tpu.gating.streaming import StreamingGate
+
+    rng = np.random.default_rng(0)
+    D, C, M, N = 4096, 4096, 16, 512
+    desc = rng.normal(size=(N, D)).astype(np.float32)
+    times = np.arange(N, dtype=np.float32) * 0.5
+    floors = rng.integers(1, 6, size=N).astype(np.int32)
+    sg = StreamingGate(capacity=C, top_k=10, similarity_threshold=0.5)
+    sg.add_keyframes(desc[:M], times[:M], floors[:M])  # compile warmup
+    t0 = time.perf_counter()
+    for s in range(M, N, M):
+        sg.add_keyframes(desc[s : s + M], times[s : s + M], floors[s : s + M])
+    dt = time.perf_counter() - t0
+    kfps = (N - M) / dt
+    return {
+        "metric": "streaming_gate_keyframes_per_s",
+        "value": round(kfps, 1),
+        "unit": "keyframes/s",
+        "vs_baseline": round(kfps / 10.0, 2),  # 10 Hz keyframe stream
+        "ms_per_keyframe": round(1e3 * dt / (N - M), 3),
+        "ms_per_dispatch": round(1e3 * dt / ((N - M) // M), 2),
+        "micro_batch": M,
+        "capacity": C,
+        "descriptor_dim": D,
+        "accepted": sg.stats["accepted_candidates"],
+        "rejected_cross_floor": sg.stats["rejected_cross_floor"],
+    }
+
+
 def main():
     if not os.environ.get("MLIS_BENCH_INNER") and not os.environ.get(
         "MLIS_BENCH_NOWRAP"
@@ -416,6 +456,8 @@ def main():
         out = bench_quality()
     elif mode == "pgo":
         out = bench_pgo()
+    elif mode == "stream":
+        out = bench_stream()
     else:
         out = bench_full_gate()
     print(json.dumps(out))
