@@ -21,9 +21,14 @@ bounded latency. This module is that serving path, designed TPU-first:
     behavior a long-running system needs, with `evicted` counted.
 
 Decision parity: for a database that has not wrapped, the accepted
-candidates equal the offline path's (ops/knn.cosine_topk + gate.gate_mask
-with the same threshold/top-k/time-gap), pinned by
-tests/test_streaming_gate.py.
+candidates equal the offline decision rule applied to the past-only
+database — top-k over time-gap-masked bf16 cosine similarities
+(ops/knn.cosine_topk numerics), then the similarity threshold, then the
+floor gate on the surviving top-k (a gated candidate consumes its slot,
+exactly like the offline retrieval->gate composition in
+gating/full_gate.py). Pinned by tests/test_streaming_gate.py, including
+the small-top-k case where a cross-floor candidate outranks a same-floor
+one.
 """
 
 from __future__ import annotations
@@ -108,18 +113,31 @@ def _stream_step(
     def body(carry, frame):
         desc, times, floors, ids, count = carry
         d, t, f, gid = frame
-        sims = jnp.dot(desc, d, preferred_element_type=jnp.float32)  # (C,)
+        # same numerics as the offline path (ops/knn.cosine_topk):
+        # bf16 descriptors, f32 accumulation
+        sims = jnp.dot(
+            desc.astype(jnp.bfloat16),
+            d.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (C,)
         occupied = ids >= 0
         gap_ok = jnp.abs(times - t) >= min_time_gap
-        candidate = occupied & gap_ok & (sims >= threshold)
-        diff = jnp.abs(floors - f)
+        # offline decision order (full_gate.py): top-k over gap-masked
+        # sims FIRST, then threshold, then the floor gate on the top-k —
+        # a cross-floor candidate that ranks inside the top-k consumes
+        # its slot and is then rejected (it does NOT cede the slot to the
+        # next same-floor candidate)
+        eligible = occupied & gap_ok
+        scores, slot = jax.lax.top_k(jnp.where(eligible, sims, NEG_INF), k)
+        above = jnp.isfinite(scores) & (scores >= threshold)
+        diff = jnp.abs(jnp.take(floors, slot) - f)
         floor_ok = jnp.where(strict_floor, diff == 0, diff <= 1)
-        rejected = jnp.sum(candidate & ~floor_ok)
-        accept = candidate & floor_ok
-        scores, slot = jax.lax.top_k(jnp.where(accept, sims, NEG_INF), k)
-        match_ids = jnp.where(
-            jnp.isfinite(scores), jnp.take(ids, slot), -1
-        ).astype(jnp.int32)
+        rejected = jnp.sum(above & ~floor_ok)
+        accept = above & floor_ok
+        scores = jnp.where(accept, scores, NEG_INF)
+        match_ids = jnp.where(accept, jnp.take(ids, slot), -1).astype(
+            jnp.int32
+        )
         # ring insert (oldest-first overwrite once count >= C)
         pos = jnp.mod(count, C)
         carry = (
@@ -146,7 +164,8 @@ class StreamingGate:
 
     Args:
         capacity: ring-buffer size (static; compile-once).
-        descriptor_dim: D when feeding raw descriptors.
+        descriptor_dim: optional D; inferred from the first batch when
+            None, enforced (ValueError on mismatch) when given.
         encoder: optional batched image encoder `(B, H, W[, C]) -> (B, D)`
             (e.g. `train/pretrain_vpr.load_encoder()` or any
             `models/` VPR encoder's `encode_batch_device`); when set,
@@ -159,7 +178,7 @@ class StreamingGate:
     def __init__(
         self,
         capacity: int = 4096,
-        descriptor_dim: int = 256,
+        descriptor_dim: Optional[int] = None,
         encoder: Optional[Callable] = None,
         top_k: int = 10,
         similarity_threshold: float = 0.5,
@@ -167,7 +186,7 @@ class StreamingGate:
         strict_floor: bool = True,
     ):
         self.capacity = int(capacity)
-        self.dim = int(descriptor_dim)
+        self.dim = None if descriptor_dim is None else int(descriptor_dim)
         self.encoder = encoder
         self.top_k = int(top_k)
         self.threshold = float(similarity_threshold)
@@ -182,13 +201,13 @@ class StreamingGate:
         }
 
     def _ensure_state(self, dim: int) -> None:
+        if self.dim is not None and int(dim) != self.dim:
+            raise ValueError(
+                f"descriptor dim mismatch: got {int(dim)}, expected {self.dim}"
+            )
         if self.state is None:
             self.dim = int(dim)
             self.state = _init_state(self.capacity, self.dim)
-        elif int(dim) != self.dim:
-            raise ValueError(
-                f"descriptor dim changed: {dim} != {self.dim}"
-            )
 
     def add_keyframes(
         self,

@@ -133,6 +133,22 @@ class BaseFeatureMatcher:
         return np.asarray(T, dtype=np.float64)
 
 
+def _pad_pairs_pow2(images0, images1):
+    """Pad a (P, ...) pair batch to the next power of two (min 8) by
+    repeating the first pair, so batched-matcher dispatch shapes are
+    bounded (results past the real P are discarded by the caller)."""
+    import jax.numpy as jnp
+
+    P = int(len(images0))
+    Ppad = 1 << max(3, (P - 1).bit_length())
+    im0, im1 = jnp.asarray(images0), jnp.asarray(images1)
+    if Ppad == P:
+        return im0, im1
+    reps = jnp.repeat(im0[:1], Ppad - P, axis=0)
+    reps1 = jnp.repeat(im1[:1], Ppad - P, axis=0)
+    return jnp.concatenate([im0, reps], 0), jnp.concatenate([im1, reps1], 0)
+
+
 def _build_matcher(matcher_type: str, **kwargs):
     m = matcher_type.lower()
     if m == "lightglue":
@@ -335,10 +351,12 @@ class GeometricVerifier:
             ]
         elif getattr(self.matcher, "dense_matcher", False):
             # dense detector-free matcher (LoFTR): match_batch returns
-            # already-paired points (DenseMatches), no keypoint indices
-            dm = self.matcher.match_batch(
-                jnp.asarray(images0), jnp.asarray(images1)
-            )
+            # already-paired points (DenseMatches), no keypoint indices.
+            # P is data-dependent (survivor count), so pad to a power of
+            # two — bounds compiles to log2 shapes instead of one per P
+            # (the tunnel pays ~1-3 min per fresh server-side compile)
+            im0, im1 = _pad_pairs_pow2(images0, images1)
+            dm = self.matcher.match_batch(im0, im1)
             res, T, _good = essential_ransac_batch(
                 dm.kpts0,
                 dm.kpts1,
@@ -347,7 +365,7 @@ class GeometricVerifier:
                 jax.random.PRNGKey(seed),
                 threshold_px=self.ransac_threshold,
             )
-            P = int(dm.valid.shape[0])
+            P = int(len(images0))
             n_match = np.asarray(jnp.sum(dm.valid, axis=1))
             n_inl = np.asarray(res.num_inliers)
             ratios = np.asarray(res.inlier_ratio)
@@ -361,10 +379,9 @@ class GeometricVerifier:
                 else np.full(P, -1)
             )
         else:
-            kp0, kp1, matches = self.matcher.match_batch(
-                jnp.asarray(images0), jnp.asarray(images1)
-            )
-            P = matches.idx0.shape[0]
+            im0, im1 = _pad_pairs_pow2(images0, images1)
+            kp0, kp1, matches = self.matcher.match_batch(im0, im1)
+            P = int(len(images0))
             idx = jnp.clip(matches.idx0, 0, kp1.coords.shape[1] - 1)
             mk1 = jnp.take_along_axis(kp1.coords, idx[..., None], axis=1)
             res, T, _good = essential_ransac_batch(

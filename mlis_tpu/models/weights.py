@@ -49,6 +49,20 @@ def save_params_npz(path: str, dtype=np.float16, **trees: Any) -> None:
     np.savez_compressed(path, **flat)
 
 
+def _shipped_checkpoint(*names: str) -> str | None:
+    """First existing repo-root checkpoints/<name>, or None."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    for name in names:
+        p = os.path.join(root, "checkpoints", name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def default_matcher_checkpoint() -> str | None:
     """Path of the shipped in-env-trained LightGlue checkpoint, or None.
 
@@ -60,28 +74,13 @@ def default_matcher_checkpoint() -> str | None:
       2. lightglue_homog.npz — matcher trained on the random-filter
          detector (round-3 first milestone).
     """
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)
-    )))
-    for name in ("lightglue_homog_sp.npz", "lightglue_homog.npz"):
-        p = os.path.join(root, "checkpoints", name)
-        if os.path.exists(p):
-            return p
-    return None
+    return _shipped_checkpoint("lightglue_homog_sp.npz", "lightglue_homog.npz")
 
 
 def default_loftr_checkpoint() -> str | None:
     """Path of the shipped in-env-trained LoFTR checkpoint
     (train/pretrain_loftr.py homography self-supervision), or None."""
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)
-    )))
-    p = os.path.join(root, "checkpoints", "loftr_homog.npz")
-    return p if os.path.exists(p) else None
+    return _shipped_checkpoint("loftr_homog.npz")
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:

@@ -147,6 +147,12 @@ class LoFTRTrainer:
         H, W = int(image_hw[0]), int(image_hw[1])
         if H % 8 or W % 8:
             raise ValueError("LoFTR training size must be a multiple of 8")
+        if matcher.cfg.official:
+            raise ValueError(
+                "official-architecture LoFTR is inference-only (its net "
+                "returns DenseMatches, not feature maps); train the lite "
+                "LoFTRNet (LoFTRConfig(official=False)) instead"
+            )
         self.matcher = matcher
         self.image_hw = (H, W)
         self.max_corner_jitter = float(max_corner_jitter)

@@ -96,8 +96,10 @@ def main(argv=None) -> dict:
     print(f"step 0: recall={m0['recall']:.4f} precision={m0['precision']:.4f} "
           f"n_gt={m0['n_gt']} n_pred={m0['n_pred']}", flush=True)
     history["eval"].append((0, m0["recall"], m0["precision"]))
-    best_recall = m0["recall"]
-    saved_best = False
+    # recall of the weights actually IN the checkpoint file (-1 = none
+    # saved yet): the first eval always saves, and the reported number is
+    # always what the saved weights measured — never step-0's
+    saved_recall = -1.0
 
     done = 0
     t0 = time.time()
@@ -118,21 +120,20 @@ def main(argv=None) -> dict:
             print(f"  eval@{done}: recall={m['recall']:.4f} "
                   f"precision={m['precision']:.4f} n_pred={m['n_pred']}",
                   flush=True)
-            if m["recall"] > best_recall or not saved_best:
-                best_recall = max(best_recall, m["recall"])
+            if m["recall"] > saved_recall:
+                saved_recall = m["recall"]
                 trainer.save_checkpoint(str(out))
-                saved_best = True
-                print(f"  saved best checkpoint (recall {best_recall:.4f})",
+                print(f"  saved best checkpoint (recall {saved_recall:.4f})",
                       flush=True)
         if done >= next_save:
             next_save += args.save_every
             trainer.save_checkpoint(str(out.with_suffix(".latest.npz")))
         log_path.write_text(json.dumps(history))
 
-    history["best_recall"] = best_recall
+    history["best_recall"] = saved_recall
     history["wall_s"] = time.time() - t0
     log_path.write_text(json.dumps(history))
-    print(f"done: best held-out recall {best_recall:.4f} "
+    print(f"done: best held-out recall {saved_recall:.4f} "
           f"in {history['wall_s']:.0f}s", flush=True)
     return history
 

@@ -26,50 +26,80 @@ def _scene(n=40, dim=16, n_places=8, seed=0):
     return desc.astype(np.float32), times.astype(np.float32), floors.astype(np.int32)
 
 
-def _offline_pairs(desc, times, floors, threshold, min_time_gap, strict=True):
-    """Reference decisions: full offline retrieval (k=N so nothing is
-    displaced), thresholded, floor-gated, restricted to past matches."""
+def _offline_pairs(desc, times, floors, k, threshold, min_time_gap,
+                   strict=True):
+    """Reference decisions, per query against its PAST-only database:
+    top-k over gap-masked similarities (cosine_topk on desc[:q] — the
+    same bf16 GEMM numerics as streaming), then threshold, then the
+    floor gate on the surviving top-k — the offline full_gate order."""
     n = len(desc)
-    scores, idx = cosine_topk(
-        jnp.asarray(desc), jnp.asarray(desc),
-        jnp.asarray(times), jnp.asarray(times),
-        k=n, min_time_gap=min_time_gap,
-    )
-    scores, idx = np.asarray(scores), np.asarray(idx)
     pairs = set()
-    for q in range(n):
-        for j in range(n):
-            if np.isfinite(scores[q, j]) and scores[q, j] >= threshold:
-                m = int(idx[q, j])
-                if m < q:  # streaming sees only the past
-                    ok = bool(
-                        np.asarray(
-                            gate_mask(
-                                jnp.asarray(floors),
-                                jnp.asarray([q]),
-                                jnp.asarray([m]),
-                                strict,
-                            )
-                        )[0]
-                    )
-                    if ok:
-                        pairs.add((q, m))
+    for q in range(1, n):
+        scores, idx = cosine_topk(
+            jnp.asarray(desc[q : q + 1]), jnp.asarray(desc[:q]),
+            jnp.asarray(times[q : q + 1]), jnp.asarray(times[:q]),
+            k=min(k, q), min_time_gap=min_time_gap,
+        )
+        scores, idx = np.asarray(scores)[0], np.asarray(idx)[0]
+        for j in range(len(scores)):
+            if np.isfinite(scores[j]) and scores[j] >= threshold:
+                m = int(idx[j])
+                ok = bool(
+                    np.asarray(
+                        gate_mask(
+                            jnp.asarray(floors),
+                            jnp.asarray([q]),
+                            jnp.asarray([m]),
+                            strict,
+                        )
+                    )[0]
+                )
+                if ok:
+                    pairs.add((q, m))
     return pairs
 
 
 def test_streaming_matches_offline_decisions():
     desc, times, floors = _scene()
+    # SMALL top-k on purpose: cross-floor candidates must rank inside the
+    # top-k (consuming slots, then gated) for parity to be meaningful
     sg = StreamingGate(
-        capacity=64, top_k=40, similarity_threshold=0.8, min_time_gap=10.0
+        capacity=64, top_k=3, similarity_threshold=0.8, min_time_gap=10.0
     )
     got = set()
     for s in range(0, len(desc), 8):  # micro-batches of 8
         out = sg.add_keyframes(desc[s : s + 8], times[s : s + 8], floors[s : s + 8])
         got.update((q, m) for q, m, _ in out.pairs())
-    want = _offline_pairs(desc, times, floors, 0.8, 10.0)
+    want = _offline_pairs(desc, times, floors, 3, 0.8, 10.0)
     assert got == want
     assert sg.stats["keyframes"] == len(desc)
     assert sg.stats["accepted_candidates"] == len(got)
+
+
+def test_gated_candidate_consumes_its_topk_slot():
+    # the code-review repro: with top_k=1, a HIGHER-scoring cross-floor
+    # candidate must consume the single slot and be gated — NOT cede the
+    # slot to the lower-scoring same-floor candidate (offline semantics)
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=8).astype(np.float32)
+    q /= np.linalg.norm(q)
+    perp = rng.normal(size=8).astype(np.float32)
+    perp -= q * (perp @ q)
+    perp /= np.linalg.norm(perp)
+    a = 0.90 * q + np.sqrt(1 - 0.90**2) * perp  # same floor, sim 0.90
+    b = 0.95 * q + np.sqrt(1 - 0.95**2) * perp  # cross floor, sim 0.95
+    desc = np.stack([a, b, q])
+    floors = np.array([2, 3, 2])
+    times = np.array([0.0, 20.0, 40.0], np.float32)
+    sg = StreamingGate(capacity=8, top_k=1, similarity_threshold=0.5,
+                       min_time_gap=10.0)
+    out = sg.add_keyframes(desc, times, floors)
+    assert out.pairs() == []  # slot went to b, which the gate rejected
+    # 2 rejections: query q's slot went to b (cross-floor), and frame b
+    # itself saw frame a across floors
+    assert out.cross_floor_rejected == 2
+    # same decision as the offline composition
+    assert _offline_pairs(desc, times, floors, 1, 0.5, 10.0) == set()
 
 
 def test_streaming_within_batch_retrieval():
