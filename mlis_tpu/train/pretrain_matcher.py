@@ -21,9 +21,7 @@ Run: python -m mlis_tpu.train.pretrain_matcher --steps 6000
 from __future__ import annotations
 
 import argparse
-import json
 import os
-import time
 from pathlib import Path
 
 import jax
@@ -152,54 +150,15 @@ def main(argv=None) -> dict:
             "steps", "chunk", "batch", "kpts", "height", "width",
             "peak_lr", "warmup", "seed",
         )},
-        "loss": [],  # (step, mean chunk loss)
-        "eval": [],  # (step, recall, precision)
     }
 
-    m0 = trainer.match_metrics(eval_imgs)
-    print(f"step 0: recall={m0['recall']:.4f} precision={m0['precision']:.4f} "
-          f"n_gt={m0['n_gt']} n_pred={m0['n_pred']}", flush=True)
-    history["eval"].append((0, m0["recall"], m0["precision"]))
-    # recall of the weights actually IN the checkpoint file (-1 = none
-    # saved yet): the first eval always saves, and the reported number is
-    # always what the saved weights measured — never step-0's
-    saved_recall = -1.0
+    from mlis_tpu.train.driver import run_chunked_training
 
-    done = 0
-    t0 = time.time()
-    next_eval = args.eval_every
-    next_save = args.save_every
-    while done < args.steps:
-        n = min(args.chunk, args.steps - done)
-        losses = trainer.train_chunk(n, batch_size=args.batch)
-        done += n
-        history["loss"].append((done, float(losses.mean())))
-        rate = done / (time.time() - t0)
-        print(f"step {done}/{args.steps}: loss={losses.mean():.4f} "
-              f"(last {losses[-1]:.4f}) {rate:.2f} steps/s", flush=True)
-        if done >= next_eval or done >= args.steps:
-            next_eval += args.eval_every
-            m = trainer.match_metrics(eval_imgs)
-            history["eval"].append((done, m["recall"], m["precision"]))
-            print(f"  eval@{done}: recall={m['recall']:.4f} "
-                  f"precision={m['precision']:.4f} n_pred={m['n_pred']}",
-                  flush=True)
-            if m["recall"] > saved_recall:
-                saved_recall = m["recall"]
-                trainer.save_checkpoint(str(out))
-                print(f"  saved best checkpoint (recall {saved_recall:.4f})",
-                      flush=True)
-        if done >= next_save:
-            next_save += args.save_every
-            trainer.save_checkpoint(str(out.with_suffix(".latest.npz")))
-        log_path.write_text(json.dumps(history))
-
-    history["best_recall"] = saved_recall
-    history["wall_s"] = time.time() - t0
-    log_path.write_text(json.dumps(history))
-    print(f"done: best held-out recall {saved_recall:.4f} "
-          f"in {history['wall_s']:.0f}s", flush=True)
-    return history
+    return run_chunked_training(
+        trainer, eval_imgs, out, log_path, history,
+        steps=args.steps, chunk=args.chunk, batch=args.batch,
+        eval_every=args.eval_every, save_every=args.save_every,
+    )
 
 
 if __name__ == "__main__":
