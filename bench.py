@@ -309,6 +309,9 @@ def bench_pgo() -> dict:
         "ate_odometry": round(out["odometry_ate_rmse"], 3),
         "ate_gated": round(out["gated_ate_rmse"], 3),
         "ate_ungated": round(out["ungated_ate_rmse"], 3),
+        "ate_ungated_sc": round(out["sc_ate_rmse"], 3),
+        "ate_ungated_gnc": round(out["gnc_ate_rmse"], 3),
+        "gnc_false_disabled": out["gnc_false_disabled"],
         "gate_correct": out["gate_correct"],
     }
 

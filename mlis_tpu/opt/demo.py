@@ -241,7 +241,7 @@ def run_pgo_demo(
     loop_sigmas = np.tile(np.asarray([[0.05, 0.01]], np.float32), (len(pairs), 1))
     odo_sigmas = np.tile(np.asarray([[0.03, 0.004]], np.float32), (len(odo_edges), 1))
 
-    def solve(closure_mask: np.ndarray, sc: bool = False) -> Dict:
+    def solve(closure_mask: np.ndarray, sc: bool = False, gnc: bool = False) -> Dict:
         keep = np.nonzero(closure_mask)[0]
         edges = odo_edges + [tuple(pairs[i]) for i in keep]
         eR = np.concatenate([odo_R, mR[keep]], axis=0)
@@ -251,7 +251,7 @@ def run_pgo_demo(
             np.concatenate(
                 [np.zeros(len(odo_edges), bool), np.ones(len(keep), bool)]
             )
-            if sc
+            if (sc or gnc)  # GNC reuses the same loop-edge flag
             else None
         )
         factors = build_factors(
@@ -262,10 +262,22 @@ def run_pgo_demo(
             dz_edges=dz_edges if use_priors else (),
             switchable=switchable,
         )
-        R, t, costs, switches = optimize_pose_graph(
-            jnp.asarray(init_R), jnp.asarray(init_t), factors,
-            num_iters=num_iters, cg_iters=cg_iters, huber_delta=huber_delta,
-        )
+        if gnc:
+            from mlis_tpu.opt.pose_graph import optimize_pose_graph_gnc
+
+            # the anneal must REACH mu=1 (GM): mu0 ~ 2*r2max/barcsq is
+            # ~1e3 on this scene's drifted init, so ~log_1.4(mu0) ~ 21+
+            # rounds are needed — the 12-round default would stop with
+            # weights still near 1 and reject nothing
+            R, t, costs, switches = optimize_pose_graph_gnc(
+                jnp.asarray(init_R), jnp.asarray(init_t), factors,
+                outer_iters=30, inner_iters=2, cg_iters=cg_iters,
+            )
+        else:
+            R, t, costs, switches = optimize_pose_graph(
+                jnp.asarray(init_R), jnp.asarray(init_t), factors,
+                num_iters=num_iters, cg_iters=cg_iters, huber_delta=huber_delta,
+            )
         from mlis_tpu.eval.metrics import compute_ate
 
         ate = compute_ate(np.asarray(t), gt_t)
@@ -275,8 +287,8 @@ def run_pgo_demo(
             "cost_final": float(np.asarray(costs)[-1]),
             "_t": np.asarray(t),
         }
-        if sc:
-            # per-closure switch values, aligned with `keep`
+        if sc or gnc:
+            # per-closure switch/GNC-weight values, aligned with `keep`
             sw = np.asarray(switches)[len(odo_edges) : len(odo_edges) + len(keep)]
             truth = is_true[keep]
             out["false_disabled"] = float((sw[~truth] < 0.5).mean()) if (~truth).any() else 1.0
@@ -303,16 +315,21 @@ def run_pgo_demo(
     # alternative to gating (per-closure switch variables the optimizer can
     # turn off) — the quantitative baseline for "why gate at the front end"
     res_sc = solve(np.ones(len(pairs), bool), sc=True)
+    # GNC on ALL candidates: the reference's own robust back-end choice
+    # (Kimera-RPGO, config/kimera/ISEC_params.yaml outlier_method 2)
+    res_gnc = solve(np.ones(len(pairs), bool), gnc=True)
     trajs = {
         "odometry": res_odo.pop("_t"),
         "gated": res_gated.pop("_t"),
         "ungated": res_ungated.pop("_t"),
         "ungated_sc": res_sc.pop("_t"),
+        "ungated_gnc": res_gnc.pop("_t"),
     }
     out.update({f"odometry_{k}": v for k, v in res_odo.items()})
     out.update({f"gated_{k}": v for k, v in res_gated.items()})
     out.update({f"ungated_{k}": v for k, v in res_ungated.items()})
     out.update({f"sc_{k}": v for k, v in res_sc.items()})
+    out.update({f"gnc_{k}": v for k, v in res_gnc.items()})
     if return_trajectories:
         out["trajectories"] = trajs
         out["gt_t"] = gt_t

@@ -213,6 +213,150 @@ def _cg(matvec, b, iters: int):
     return x
 
 
+def _edge_r2(R, t, f: PoseGraphFactors) -> jnp.ndarray:
+    """Whitened squared between-factor residuals at (R, t): (E,) sums of
+    the 6 information-weighted tangent components (padding rows -> 0)."""
+    Ri_inv, ti_inv = se3_inv(R[f.edge_i], t[f.edge_i])
+    Rrel, trel = se3_compose(Ri_inv, ti_inv, R[f.edge_j], t[f.edge_j])
+    Zi_R, Zi_t = se3_inv(f.edge_R, f.edge_t)
+    Rerr, terr = se3_compose(Zi_R, Zi_t, Rrel, trel)
+    r = se3_log(Rerr, terr) * f.edge_w * f.edge_mask[:, None]
+    return jnp.sum(r * r, axis=-1)
+
+
+def optimize_pose_graph_gnc(
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    factors: PoseGraphFactors,
+    cost_type: str = "gm",
+    barcsq: float = 16.81,
+    mu_step: float = 1.4,
+    outer_iters: int = 12,
+    inner_iters: int = 3,
+    cg_iters: int = 64,
+    damping: float = 1e-6,
+):
+    """Graduated Non-Convexity robust optimization (Yang et al., RA-L
+    2020) — the outlier-rejection method the reference configures for
+    Kimera-RPGO on this dataset (config/kimera/ISEC_params.yaml:223-266:
+    outlier_method 2 = GNC, gnc_cost_type 1 = Geman-McClure,
+    gnc_weights_tolerance 1e-4, mu step 1.4 = the GTSAM GncParams
+    default). The third robust back-end next to Huber and Switchable
+    Constraints, for the gate-vs-robust-solver ablation (opt/demo.py).
+
+    GNC edges are the ones flagged in `factors.edge_switch` (loop
+    closures — the same flag Switchable Constraints uses); odometry,
+    priors and the anchor stay quadratic. Each between-factor gets a
+    weight w in [0, 1] that scales its sqrt-information; GNC alternates
+    (1) a weighted Gauss-Newton solve and (2) a closed-form weight
+    update under a graduated surrogate cost, annealing the convexity
+    parameter mu each round — one fully-jitted program (nested
+    lax.scans), no Python in the loop.
+
+    cost_type: "gm" (Geman-McClure, the reference's choice: weights
+    anneal smoothly, mu -> 1) or "tls" (Truncated Least Squares:
+    weights converge to binary, mu -> inf).
+
+    barcsq is the squared inlier threshold on the WHITENED 6-dof
+    residual; the default 16.81 = chi2(0.99, 6 dof). (The reference's
+    gnc_barcsq 1.0 lives in GTSAM's normalized-by-threshold convention.)
+    For TLS, barcsq must sit above each inlier edge's residual at the
+    estimate reachable WITHOUT that edge (e.g. drifted odometry): TLS
+    hard-cuts and never re-opens an edge whose residual stays over the
+    threshold, while GM's soft weights keep pulling and recover — one
+    reason the reference's config chooses GM for this dataset
+    (tests/test_pose_graph.py::test_gnc_tls_unit_rejects_outlier_edge
+    pins the trap).
+
+    Returns (R, t, cost_trace, weights): cost_trace (outer_iters,) is
+    the weighted cost at the start of each outer round; weights (E,)
+    are the final per-edge GNC weights (1.0 for non-GNC edges);
+    weight < 0.5 = edge effectively rejected as an outlier.
+    """
+    if cost_type not in ("gm", "tls"):
+        raise ValueError(f"cost_type must be 'gm' or 'tls': {cost_type!r}")
+    return _gnc_jit(
+        R0, t0, factors, outer_iters, inner_iters, cg_iters,
+        float(damping), float(barcsq), cost_type == "gm", float(mu_step),
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 8))
+def _gnc_jit(R0, t0, factors, outer_iters, inner_iters, cg_iters, damping,
+             barcsq, cost_is_gm, mu_step):
+    anchor = (R0[0], t0[0])
+    N = R0.shape[0]
+    E = factors.edge_i.shape[0]
+    gnc_mask = factors.edge_switch > 0
+    # GNC owns the robustness: the inner solve is plain GN (no SC scaling,
+    # no Huber) on weight-scaled factors
+    f_plain = factors._replace(edge_switch=jnp.zeros_like(factors.edge_switch))
+
+    def inner(R, t, w):
+        f_w = f_plain._replace(edge_w=f_plain.edge_w * jnp.sqrt(w)[:, None])
+
+        def gn_step(carry, _):
+            R, t = carry
+
+            def res(p):
+                return _residuals(
+                    p.reshape(N, 6), jnp.zeros(E, R.dtype), R, t,
+                    jnp.ones(E, R.dtype), f_w, anchor, None, 0.0,
+                )
+
+            zero = jnp.zeros(N * 6, R.dtype)
+            r0, pullback = jax.vjp(res, zero)
+            b = -pullback(r0)[0]
+
+            def mv(v):
+                return pullback(jax.jvp(res, (zero,), (v,))[1])[0] + damping * v
+
+            step = _cg(mv, b, cg_iters)
+            Rn, tn = se3_retract(R, t, step.reshape(N, 6))
+            u, _, vt = jnp.linalg.svd(Rn)
+            return (u @ vt, tn), 0.5 * jnp.vdot(r0, r0)
+
+        (R, t), costs = jax.lax.scan(gn_step, (R, t), None, length=inner_iters)
+        return R, t, costs[0]
+
+    # mu init from the worst GNC-edge residual at the initial estimate
+    # (Yang et al. Sec. III-B: start near-convex)
+    r2_0 = _edge_r2(R0, t0, factors)
+    rmax2 = jnp.maximum(jnp.max(jnp.where(gnc_mask, r2_0, 0.0)), barcsq)
+    if cost_is_gm:
+        mu0 = jnp.maximum(1.0, 2.0 * rmax2 / barcsq)
+    else:
+        mu0 = jnp.clip(barcsq / jnp.maximum(2.0 * rmax2 - barcsq, 1e-6),
+                       1e-6, 1e6)
+
+    def outer(carry, _):
+        R, t, mu, w = carry
+        R, t, cost = inner(R, t, w)
+        r2 = _edge_r2(R, t, factors)
+        if cost_is_gm:
+            w_new = (mu * barcsq / (r2 + mu * barcsq)) ** 2
+            mu_n = jnp.maximum(1.0, mu / mu_step)
+        else:
+            th_hi = (mu + 1.0) / mu * barcsq
+            th_lo = mu / (mu + 1.0) * barcsq
+            w_mid = jnp.sqrt(
+                barcsq * mu * (mu + 1.0) / jnp.maximum(r2, 1e-12)
+            ) - mu
+            w_new = jnp.where(
+                r2 >= th_hi, 0.0,
+                jnp.where(r2 <= th_lo, 1.0, jnp.clip(w_mid, 0.0, 1.0)),
+            )
+            mu_n = mu * mu_step
+        w_new = jnp.where(gnc_mask, w_new, 1.0)
+        return (R, t, mu_n, w_new), cost
+
+    w0 = jnp.ones(E, R0.dtype)
+    (R, t, _, w), costs = jax.lax.scan(
+        outer, (R0, t0, mu0, w0), None, length=outer_iters
+    )
+    return R, t, costs, w
+
+
 def optimize_pose_graph(
     R0: jnp.ndarray,  # (N, 3, 3) initial rotations
     t0: jnp.ndarray,  # (N, 3) initial translations

@@ -208,3 +208,61 @@ def test_pgo_real_lego_loam_scale():
     )
     assert out["gated_ate_rmse"] < 0.2 * out["odometry_ate_rmse"], out
     assert out["ungated_ate_rmse"] > 2.0 * out["odometry_ate_rmse"], out
+
+
+def test_gnc_tls_unit_rejects_outlier_edge():
+    """GNC-TLS on a circle graph with one grossly wrong loop edge: the
+    outlier's weight anneals to ~0 (binary in TLS), the good loop edge
+    stays at 1, and the solve matches the clean-graph quality."""
+    from mlis_tpu.opt.pose_graph import optimize_pose_graph_gnc
+
+    gt_R, gt_t, edges, eR, et, R0, t0 = _circle_graph()
+    # a FALSE loop closure: claims pose N/2 coincides with pose 0
+    N = len(gt_t)
+    edges = edges + [(N // 2, 0)]
+    eR = np.concatenate([eR, np.eye(3, dtype=np.float32)[None]], 0)
+    et = np.concatenate([et, np.zeros((1, 3), np.float32)], 0)
+    # GNC edges: the two loop closures (true N-1->0 and false N/2->0)
+    switchable = np.zeros(len(edges), bool)
+    switchable[N - 1] = True  # true loop edge (appended by _circle_graph)
+    switchable[-1] = True  # false loop edge
+    f = build_factors(
+        N, edges, eR, et, sigma_rho=0.05, sigma_omega=0.02,
+        switchable=switchable,
+    )
+    # barcsq must sit ABOVE the true edge's whitened r2 at the estimate
+    # reachable without it (~214 here, drifted odometry) and below the
+    # outlier's (~1e5): TLS hard-cuts and cannot re-open an edge whose
+    # residual never falls under the threshold (GM's soft weights avoid
+    # this trap — one reason the reference's Kimera config picks GM)
+    R, t, costs, w = optimize_pose_graph_gnc(
+        jnp.asarray(R0), jnp.asarray(t0), f,
+        cost_type="tls", barcsq=500.0, outer_iters=30, inner_iters=2,
+        cg_iters=64,
+    )
+    w = np.asarray(w)
+    assert w[len(edges) - 1] < 0.01, w[len(edges) - 1]  # false -> off
+    assert w[N - 1] > 0.99, w[N - 1]  # true -> kept (TLS is binary)
+    assert np.asarray(f.edge_mask)[len(edges):].sum() == 0 or (
+        w[len(edges):] == 1.0
+    ).all()  # padding edges untouched
+    ate = float(np.sqrt(
+        (np.linalg.norm(np.asarray(t) - gt_t, axis=1) ** 2).mean()
+    ))
+    ate0 = float(np.sqrt((np.linalg.norm(t0 - gt_t, axis=1) ** 2).mean()))
+    assert ate < 0.5 * ate0
+
+
+def test_gnc_matches_gated_solve_on_demo():
+    """GNC (the reference's Kimera-RPGO outlier method: GM cost,
+    config/kimera/ISEC_params.yaml outlier_method 2) anneals every
+    aliased cross-floor closure to weight < 0.5 and recovers the gated
+    trajectory — while, like SC, paying full verification + the robust
+    machinery for every candidate the gate drops at label-lookup cost."""
+    from mlis_tpu.opt.demo import run_pgo_demo
+
+    out = run_pgo_demo(seed=0)
+    assert out["gnc_false_disabled"] == 1.0, out
+    assert out["gnc_true_kept"] >= 0.9, out
+    assert out["gnc_ate_rmse"] < 1.5 * out["gated_ate_rmse"], out
+    assert out["gnc_ate_rmse"] < 0.25 * out["ungated_ate_rmse"], out
