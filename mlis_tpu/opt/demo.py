@@ -318,18 +318,39 @@ def run_pgo_demo(
     # GNC on ALL candidates: the reference's own robust back-end choice
     # (Kimera-RPGO, config/kimera/ISEC_params.yaml outlier_method 2)
     res_gnc = solve(np.ones(len(pairs), bool), gnc=True)
+    # PCM (outlier_method 1): front-end pairwise-consistency filter on
+    # the odometry-integrated poses, then a plain (non-robust) solve on
+    # the surviving clique — O(A^2) SE(3) cycle checks where the gate
+    # pays one label lookup per candidate
+    from mlis_tpu.opt.pcm import pcm_filter
+
+    pcm_keep, _ = pcm_filter(
+        init_R, init_t, pairs, mR, mt,
+        # cycle covariance = odometry drift accumulated over the loop,
+        # much looser than a single edge's sigma
+        sigma_rho=0.5, sigma_omega=0.05,
+    )
+    res_pcm = solve(pcm_keep)
+    res_pcm["false_removed"] = (
+        float((~pcm_keep[~is_true]).mean()) if (~is_true).any() else 1.0
+    )
+    res_pcm["true_kept"] = (
+        float(pcm_keep[is_true].mean()) if is_true.any() else 1.0
+    )
     trajs = {
         "odometry": res_odo.pop("_t"),
         "gated": res_gated.pop("_t"),
         "ungated": res_ungated.pop("_t"),
         "ungated_sc": res_sc.pop("_t"),
         "ungated_gnc": res_gnc.pop("_t"),
+        "ungated_pcm": res_pcm.pop("_t"),
     }
     out.update({f"odometry_{k}": v for k, v in res_odo.items()})
     out.update({f"gated_{k}": v for k, v in res_gated.items()})
     out.update({f"ungated_{k}": v for k, v in res_ungated.items()})
     out.update({f"sc_{k}": v for k, v in res_sc.items()})
     out.update({f"gnc_{k}": v for k, v in res_gnc.items()})
+    out.update({f"pcm_{k}": v for k, v in res_pcm.items()})
     if return_trajectories:
         out["trajectories"] = trajs
         out["gt_t"] = gt_t
