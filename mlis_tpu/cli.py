@@ -382,6 +382,53 @@ def _cmd_pgo(args) -> int:
     return 0
 
 
+def _cmd_stream(args) -> int:
+    """Online StreamingGate demo: synthetic keyframe stream with revisits
+    and cross-floor aliasing traps through the ring-buffer serving path."""
+    import json
+
+    import numpy as np
+
+    from mlis_tpu.gating.streaming import StreamingGate
+
+    rng = np.random.default_rng(args.seed)
+    n, D = args.frames, 128
+    desc = rng.normal(size=(n, D)).astype(np.float32)
+    floors = rng.integers(1, 6, size=n).astype(np.int32)
+    # plant revisits: every 8th frame revisits a frame ~20 back; half of
+    # them land on another floor (the aliasing traps the gate must stop)
+    planted = trap = 0
+    for q in range(24, n, 8):
+        m = q - 20
+        desc[q] = desc[m] + 0.01 * rng.normal(size=D).astype(np.float32)
+        if q % 16 == 0:
+            floors[q] = floors[m] % 5 + 1 if floors[m] != 5 else 2
+            trap += 1
+        else:
+            floors[q] = floors[m]
+            planted += 1
+    times = np.arange(n, dtype=np.float32) * 2.0
+    sg = StreamingGate(capacity=args.capacity, top_k=5,
+                       similarity_threshold=0.9, min_time_gap=10.0)
+    pairs = []
+    for s in range(0, n, args.micro_batch):
+        out = sg.add_keyframes(
+            desc[s : s + args.micro_batch],
+            times[s : s + args.micro_batch],
+            floors[s : s + args.micro_batch],
+        )
+        pairs += out.pairs()
+    print(json.dumps({
+        "frames": n,
+        "planted_same_floor_revisits": planted,
+        "planted_cross_floor_traps": trap,
+        "accepted_pairs": len(pairs),
+        "stats": sg.stats,
+        "sample_pairs": pairs[:10],
+    }, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="mlis_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd")
@@ -465,6 +512,16 @@ def main(argv=None) -> int:
     p.add_argument("--figure", help="write a 3D GT-vs-variants comparison PNG")
 
     p = sub.add_parser(
+        "stream",
+        help="online StreamingGate demo: ring-buffer serving path on a "
+        "synthetic keyframe stream with planted revisits + aliasing traps",
+    )
+    p.add_argument("--frames", type=int, default=200)
+    p.add_argument("--capacity", type=int, default=256)
+    p.add_argument("--micro-batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser(
         "check-data",
         help="validate dataset presence (trajectories per algorithm, "
         "optional bag readability) — `make check-data` equivalent",
@@ -499,6 +556,8 @@ def main(argv=None) -> int:
         return _cmd_layout(args)
     if args.cmd == "pgo":
         return _cmd_pgo(args)
+    if args.cmd == "stream":
+        return _cmd_stream(args)
     parser.print_help()
     return 1
 

@@ -232,3 +232,15 @@ def test_cli_check_data(tmp_path, capsys):
 def test_cli_no_command_shows_help(capsys):
     assert main([]) == 1
     assert "gate" in capsys.readouterr().out
+
+
+def test_cli_stream_demo(capsys):
+    import json
+
+    rc = main(["stream", "--frames", "120", "--capacity", "128",
+               "--micro-batch", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    # every planted same-floor revisit accepted, every trap gate-rejected
+    assert out["accepted_pairs"] == out["planted_same_floor_revisits"]
+    assert out["stats"]["rejected_cross_floor"] >= out["planted_cross_floor_traps"]
