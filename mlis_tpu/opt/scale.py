@@ -100,6 +100,9 @@ def run_pgo_real(
     num_iters: int = 12,
     cg_iters: int = 1024,
     include_sc: bool = False,
+    include_gnc: bool = False,  # GNC-GM on the ungated graph (Kimera-RPGO's
+    # method on this dataset); ~5x one plain solve's compute (outer anneal
+    # x inner GN), so opt-in — run on the chip, record in BENCH_NOTES
     shared_pad: bool = True,  # pad all variants to the ungated edge count:
     # ONE compiled program serves all three solves (compile >> compute
     # through the TPU tunnel; padded edges are masked dead weight)
@@ -183,7 +186,8 @@ def run_pgo_real(
     max_edges = N - 1 + len(ti_) + len(fi_)
     pad = (1 << (max_edges - 1).bit_length()) if shared_pad else None
 
-    def solve(with_true: bool, with_false: bool, sc: bool = False) -> Dict:
+    def solve(with_true: bool, with_false: bool, sc: bool = False,
+              gnc: bool = False) -> Dict:
         edges = list(odo_edges)
         Rs = [eR]
         ts = [et]
@@ -208,24 +212,41 @@ def run_pgo_real(
             edge_sigmas=np.concatenate(sigs),
             prior_z=expected_z.astype(np.float32),
             sigma_z=0.5,
-            switchable=np.concatenate(sws) if sc else None,
+            switchable=np.concatenate(sws) if (sc or gnc) else None,
             pad_edges=pad,
         )
         t0 = time.perf_counter()
-        R, t, costs, _ = optimize_pose_graph(
-            jnp.asarray(init_R.astype(np.float32)),
-            jnp.asarray(init_t.astype(np.float32)),
-            factors, num_iters=num_iters, cg_iters=cg_iters,
-        )
+        if gnc:
+            from mlis_tpu.opt.pose_graph import optimize_pose_graph_gnc
+
+            R, t, costs, w = optimize_pose_graph_gnc(
+                jnp.asarray(init_R.astype(np.float32)),
+                jnp.asarray(init_t.astype(np.float32)),
+                factors, outer_iters=30, inner_iters=2, cg_iters=cg_iters,
+            )
+        else:
+            R, t, costs, w = optimize_pose_graph(
+                jnp.asarray(init_R.astype(np.float32)),
+                jnp.asarray(init_t.astype(np.float32)),
+                factors, num_iters=num_iters, cg_iters=cg_iters,
+            )
         t = np.asarray(t)  # forces the fetch (timing through the tunnel)
         elapsed = time.perf_counter() - t0
         ate = compute_ate(t, gt_t)
-        return {
+        out = {
             "ate_rmse": float(ate["rmse"]),
             "ate_max": float(ate["max"]),
             "n_edges": len(edges),
             "solve_s": round(elapsed, 2),
         }
+        if (sc or gnc) and with_false:
+            # closure-edge weights: true block then false block
+            # (order matches the edge assembly above)
+            ww = np.asarray(w)[len(odo_edges) : len(edges)]
+            nt = len(ti_)
+            out["false_disabled"] = float((ww[nt:] < 0.5).mean())
+            out["true_kept"] = float((ww[:nt] >= 0.5).mean())
+        return out
 
     out = {
         "algorithm": algorithm,
@@ -240,6 +261,8 @@ def run_pgo_real(
            "ungated": solve(True, True)}
     if include_sc:
         res["ungated_sc"] = solve(True, True, sc=True)
+    if include_gnc:
+        res["ungated_gnc"] = solve(True, True, gnc=True)
     for name, r in res.items():
         out.update({f"{name}_{k}": v for k, v in r.items()})
     return out
