@@ -17,6 +17,10 @@ Modes (MLIS_BENCH_MODE env):
         GT scene, trained vs random vs ORB (eval/quality.py).
   pgo — trajectory-level gate value: on-chip pose-graph optimization,
         gated vs ungated vs odometry-only ATE (opt/demo.py).
+  matchers — per-family matcher throughput (LightGlue / SuperGlue /
+        LoFTR) vs the reference's published single-GPU FPS claims
+        (README.md:41-45: 150 / 15 / 10 FPS); value is the geometric-
+        mean speedup.
   stream — online serving path: StreamingGate keyframes/sec at
         production shapes (4096-entry ring buffer, 4096-d descriptors,
         micro-batch 16); vs_baseline is the real-time factor against a
@@ -388,6 +392,63 @@ def _run_wrapped() -> int:
     return 1
 
 
+def bench_matchers() -> dict:
+    """Matcher-only throughput per family at the bench protocol's
+    keyframe shape (270x360 mono, 512 kpt for the sparse families), vs
+    the reference's own published single-GPU FPS (README.md:41-45:
+    LightGlue 150, SuperGlue 15, LoFTR 10 — 'images per second' on
+    pre-extracted pairs). Batched device-resident inference; timing by
+    scalar fetch after a compile warmup; best of 3 reps."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlis_tpu.models.lightglue import LightGlue, SuperGlue
+    from mlis_tpu.models.loftr import LoFTR
+    from mlis_tpu.models.superpoint import SuperPointConfig
+    from mlis_tpu.train.matcher_trainer import synthetic_textures
+
+    GPU_FPS = {"lightglue": 150.0, "superglue": 15.0, "loftr": 10.0}
+    B = int(os.environ.get("MLIS_BENCH_MATCHERS_BATCH", "32"))
+    H, W = 270, 360
+    imgs = synthetic_textures(jax.random.PRNGKey(0), 2 * B, H, W)
+    im0 = imgs[:B][..., None]
+    im1 = imgs[B:][..., None]
+
+    def time_match(fn):
+        best = float("inf")
+        float(jnp.sum(fn()))  # warmup/compile
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn()))  # scalar fetch forces execution
+            best = min(best, time.perf_counter() - t0)
+        return B / best
+
+    out = {}
+    for name in ("lightglue", "superglue", "loftr"):
+        if name == "loftr":
+            m = LoFTR()
+            fn = lambda: m.match_batch(im0, im1).scores
+        else:
+            cls = SuperGlue if name == "superglue" else LightGlue
+            m = cls(sp_cfg=SuperPointConfig(max_keypoints=512))
+            fn = lambda: m.match_batch(im0, im1)[2].scores
+        pps = time_match(fn)
+        out[f"{name}_pairs_per_s"] = round(pps, 1)
+        out[f"{name}_vs_gpu"] = round(pps / GPU_FPS[name], 2)
+
+    speedups = [out[f"{n}_vs_gpu"] for n in GPU_FPS]
+    gmean = float(np.exp(np.mean(np.log(np.maximum(speedups, 1e-9)))))
+    return {
+        "metric": "matcher_throughput_geomean_speedup_vs_reference_gpu",
+        "value": round(gmean, 2),
+        "unit": "x",
+        "vs_baseline": round(gmean, 2),
+        "batch": B,
+        "hw": [H, W],
+        **out,
+    }
+
+
 def bench_stream() -> dict:
     """Online serving latency: StreamingGate (gating/streaming.py) at
     production shapes — 4096-entry device-resident ring buffer, 4096-d
@@ -461,6 +522,8 @@ def main():
         out = bench_pgo()
     elif mode == "stream":
         out = bench_stream()
+    elif mode == "matchers":
+        out = bench_matchers()
     else:
         out = bench_full_gate()
     print(json.dumps(out))
