@@ -82,6 +82,8 @@ HEAVY_TESTS = {
     "test_matcher_families.py::test_verify_pairs_batch_dense_matches_single_pair_path",
     "test_matcher_families.py::test_pretrain_matcher_superglue_arch",
     "test_matcher_families.py::test_quality_bench_loftr_matcher",
+    "test_trained_loftr.py::test_shipped_loftr_checkpoint_meets_recall_milestone",
+    "test_trained_loftr.py::test_shipped_loftr_improves_gate_decisions",
 }
 
 
