@@ -600,3 +600,45 @@ def plot_pgo_comparison(
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_training_curves(
+    log_path: str | Path,
+    path: str | Path,
+    title: Optional[str] = None,
+) -> Path:
+    """Loss + held-out recall/precision curves from a pretraining log
+    JSON (the `<checkpoint>_log.json` files train/driver.py writes next
+    to every shipped checkpoint) — the observability artifact for the
+    in-env-trained weights."""
+    import json
+
+    log_path = Path(log_path)
+    hist = json.loads(log_path.read_text())
+    loss = np.asarray(hist.get("loss", []), np.float64)
+    evals = np.asarray(hist.get("eval", []), np.float64)
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    if len(loss):
+        ax1.plot(loss[:, 0], loss[:, 1], lw=1.2)
+        ax1.set_yscale("log")
+    ax1.set_xlabel("step")
+    ax1.set_ylabel("mean chunk loss")
+    ax1.set_title("training loss")
+    ax1.grid(alpha=0.3)
+    if len(evals):
+        ax2.plot(evals[:, 0], evals[:, 1], "-o", ms=3, label="recall")
+        if evals.shape[1] > 2:
+            ax2.plot(evals[:, 0], evals[:, 2], "-s", ms=3, label="precision")
+        ax2.set_ylim(0, 1.02)
+        ax2.legend()
+    ax2.set_xlabel("step")
+    ax2.set_ylabel("held-out metric")
+    ax2.set_title("held-out homography matching")
+    ax2.grid(alpha=0.3)
+    fig.suptitle(title or log_path.stem.replace("_log", ""))
+    fig.tight_layout()
+    path = Path(path)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
