@@ -424,6 +424,7 @@ def bench_matchers() -> dict:
         return B / best
 
     out = {}
+    speedups = []
     for name in ("lightglue", "superglue", "loftr"):
         if name == "loftr":
             m = LoFTR()
@@ -433,10 +434,10 @@ def bench_matchers() -> dict:
             m = cls(sp_cfg=SuperPointConfig(max_keypoints=512))
             fn = lambda: m.match_batch(im0, im1)[2].scores
         pps = time_match(fn)
+        speedups.append(pps / GPU_FPS[name])  # unrounded for the geomean
         out[f"{name}_pairs_per_s"] = round(pps, 1)
-        out[f"{name}_vs_gpu"] = round(pps / GPU_FPS[name], 2)
+        out[f"{name}_vs_gpu"] = round(speedups[-1], 2)
 
-    speedups = [out[f"{n}_vs_gpu"] for n in GPU_FPS]
     gmean = float(np.exp(np.mean(np.log(np.maximum(speedups, 1e-9)))))
     return {
         "metric": "matcher_throughput_geomean_speedup_vs_reference_gpu",

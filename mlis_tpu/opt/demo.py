@@ -265,13 +265,9 @@ def run_pgo_demo(
         if gnc:
             from mlis_tpu.opt.pose_graph import optimize_pose_graph_gnc
 
-            # the anneal must REACH mu=1 (GM): mu0 ~ 2*r2max/barcsq is
-            # ~1e3 on this scene's drifted init, so ~log_1.4(mu0) ~ 21+
-            # rounds are needed — the 12-round default would stop with
-            # weights still near 1 and reject nothing
             R, t, costs, switches = optimize_pose_graph_gnc(
                 jnp.asarray(init_R), jnp.asarray(init_t), factors,
-                outer_iters=30, inner_iters=2, cg_iters=cg_iters,
+                inner_iters=2, cg_iters=cg_iters,
             )
         else:
             R, t, costs, switches = optimize_pose_graph(

@@ -25,7 +25,7 @@ implementations use heuristics too).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Tuple
 
 import jax
@@ -35,7 +35,7 @@ import numpy as np
 from mlis_tpu.opt.lie import se3_compose, se3_inv, se3_log
 
 
-@partial(jax.jit, static_argnums=())
+@jax.jit
 def pairwise_cycle_r2(
     pose_R: jnp.ndarray,  # (N, 3, 3) odometry-integrated rotations
     pose_t: jnp.ndarray,  # (N, 3)

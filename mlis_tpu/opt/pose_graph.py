@@ -231,7 +231,11 @@ def optimize_pose_graph_gnc(
     cost_type: str = "gm",
     barcsq: float = 16.81,
     mu_step: float = 1.4,
-    outer_iters: int = 12,
+    # the anneal must RUN TO mu=1 (GM): mu0 ~ 2*r2max/barcsq is ~1e3 on a
+    # typical drifted init, needing ~log_1.4(mu0) ~ 21+ rounds — a short
+    # schedule stops with weights ~1 and silently rejects nothing
+    # (measured in BENCH_NOTES.md), hence the generous default
+    outer_iters: int = 30,
     inner_iters: int = 3,
     cg_iters: int = 64,
     damping: float = 1e-6,
@@ -268,10 +272,12 @@ def optimize_pose_graph_gnc(
     (tests/test_pose_graph.py::test_gnc_tls_unit_rejects_outlier_edge
     pins the trap).
 
-    Returns (R, t, cost_trace, weights): cost_trace (outer_iters,) is
-    the weighted cost at the start of each outer round; weights (E,)
-    are the final per-edge GNC weights (1.0 for non-GNC edges);
-    weight < 0.5 = edge effectively rejected as an outlier.
+    Returns (R, t, cost_trace, weights): cost_trace (outer_iters + 1,)
+    is the weighted cost at the start of each outer round plus the FINAL
+    weighted cost at the returned estimate; weights (E,) are the final
+    per-edge GNC weights (1.0 for non-GNC edges); weight < 0.5 = edge
+    effectively rejected as an outlier. (cost entries are weighted —
+    not directly comparable to optimize_pose_graph's unweighted trace.)
     """
     if cost_type not in ("gm", "tls"):
         raise ValueError(f"cost_type must be 'gm' or 'tls': {cost_type!r}")
@@ -354,7 +360,15 @@ def _gnc_jit(R0, t0, factors, outer_iters, inner_iters, cg_iters, damping,
     (R, t, _, w), costs = jax.lax.scan(
         outer, (R0, t0, mu0, w0), None, length=outer_iters
     )
-    return R, t, costs, w
+    # final weighted cost at the returned estimate (the per-round trace
+    # entries are start-of-round costs, one solve behind)
+    f_fin = f_plain._replace(edge_w=f_plain.edge_w * jnp.sqrt(w)[:, None])
+    r_fin = _residuals(
+        jnp.zeros((N, 6), R0.dtype), jnp.zeros(E, R0.dtype), R, t,
+        jnp.ones(E, R0.dtype), f_fin, anchor, None, 0.0,
+    )
+    cost_fin = 0.5 * jnp.vdot(r_fin, r_fin)
+    return R, t, jnp.concatenate([costs, cost_fin[None]]), w
 
 
 def optimize_pose_graph(

@@ -222,7 +222,7 @@ def run_pgo_real(
             R, t, costs, w = optimize_pose_graph_gnc(
                 jnp.asarray(init_R.astype(np.float32)),
                 jnp.asarray(init_t.astype(np.float32)),
-                factors, outer_iters=30, inner_iters=2, cg_iters=cg_iters,
+                factors, inner_iters=2, cg_iters=cg_iters,
             )
         else:
             R, t, costs, w = optimize_pose_graph(
@@ -239,9 +239,10 @@ def run_pgo_real(
             "n_edges": len(edges),
             "solve_s": round(elapsed, 2),
         }
-        if (sc or gnc) and with_false:
+        if (sc or gnc) and with_true and with_false:
             # closure-edge weights: true block then false block
-            # (order matches the edge assembly above)
+            # (order matches the edge assembly above; the with_true guard
+            # keeps the block offsets honest)
             ww = np.asarray(w)[len(odo_edges) : len(edges)]
             nt = len(ti_)
             out["false_disabled"] = float((ww[nt:] < 0.5).mean())

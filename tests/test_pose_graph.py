@@ -243,9 +243,7 @@ def test_gnc_tls_unit_rejects_outlier_edge():
     w = np.asarray(w)
     assert w[len(edges) - 1] < 0.01, w[len(edges) - 1]  # false -> off
     assert w[N - 1] > 0.99, w[N - 1]  # true -> kept (TLS is binary)
-    assert np.asarray(f.edge_mask)[len(edges):].sum() == 0 or (
-        w[len(edges):] == 1.0
-    ).all()  # padding edges untouched
+    assert (w[len(edges):] == 1.0).all()  # padding edges untouched
     ate = float(np.sqrt(
         (np.linalg.norm(np.asarray(t) - gt_t, axis=1) ** 2).mean()
     ))
