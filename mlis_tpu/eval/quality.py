@@ -183,6 +183,7 @@ def retrieval_recall(scene: QualityScene, encoder, top_k=5, threshold=0.5,
 
 def run_gate_quality(
     matcher: str = "trained",  # 'trained' | 'random' | 'orb' | 'loftr'
+    #                            | 'superglue'
     # 'trained_vpr' (default; falls back to 'pixel' when the shipped
     # checkpoints/vpr_tiny.npz is absent) | 'pixel' | 'mixvpr'
     encoder: str = "trained_vpr",
@@ -235,6 +236,21 @@ def run_gate_quality(
             lf.load_weights(path, image_hw=hw)
             weights = os.path.basename(path)
         verifier = GeometricVerifier(matcher=lf)
+    elif matcher == "superglue":
+        # Sinkhorn-dustbin head family (reference README.md:41-45 row);
+        # loads the in-env-trained checkpoint when shipped
+        import os
+
+        from mlis_tpu.models.lightglue import SuperGlue
+        from mlis_tpu.models.weights import default_superglue_checkpoint
+
+        sg = SuperGlue(sp_cfg=SuperPointConfig(max_keypoints=max_keypoints))
+        weights = "random_init"
+        path = weights_path or default_superglue_checkpoint()
+        if path and os.path.exists(path):
+            sg.load_weights(path, image_hw=hw)
+            weights = os.path.basename(path)
+        verifier = GeometricVerifier(matcher=sg)
     else:
         lg = LightGlue(
             sp_cfg=SuperPointConfig(max_keypoints=max_keypoints),

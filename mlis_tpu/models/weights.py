@@ -83,6 +83,12 @@ def default_loftr_checkpoint() -> str | None:
     return _shipped_checkpoint("loftr_homog.npz")
 
 
+def default_superglue_checkpoint() -> str | None:
+    """Path of the shipped in-env-trained SuperGlue (Sinkhorn-dustbin
+    head) checkpoint (`pretrain_matcher --arch superglue`), or None."""
+    return _shipped_checkpoint("superglue_homog.npz")
+
+
 def load_params_npz(path: str) -> Dict[str, Any]:
     """Load a save_params_npz file -> {name: param_tree} with f32 floats."""
     with np.load(path) as z:

@@ -84,6 +84,7 @@ HEAVY_TESTS = {
     "test_matcher_families.py::test_quality_bench_loftr_matcher",
     "test_trained_loftr.py::test_shipped_loftr_checkpoint_meets_recall_milestone",
     "test_trained_loftr.py::test_shipped_loftr_improves_gate_decisions",
+    "test_trained_superglue.py::test_shipped_superglue_checkpoint_meets_recall_milestone",
 }
 
 
