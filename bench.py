@@ -260,13 +260,21 @@ def bench_quality() -> dict:
     # reference's headline claim (62-75% cross-floor rejection) into a
     # decision-quality delta
     no_gate = run_gate_quality("trained", scene=scene, floor_gate=False)
-    # third matcher family, only when its in-env-trained checkpoint ships
-    # (random-init LoFTR would just pay compiles to report f1~0)
-    from mlis_tpu.models.weights import default_loftr_checkpoint
+    # the other matcher families, only when their in-env-trained
+    # checkpoints ship (random-init runs would just pay compiles for f1~0)
+    from mlis_tpu.models.weights import (
+        default_loftr_checkpoint,
+        default_superglue_checkpoint,
+    )
 
     loftr = (
         run_gate_quality("loftr", scene=scene)
         if default_loftr_checkpoint()
+        else None
+    )
+    superglue = (
+        run_gate_quality("superglue", scene=scene)
+        if default_superglue_checkpoint()
         else None
     )
     return {
@@ -288,6 +296,12 @@ def bench_quality() -> dict:
             {"f1_loftr": round(loftr["f1"], 3),
              "loftr_weights": loftr["weights"]}
             if loftr is not None
+            else {}
+        ),
+        **(
+            {"f1_superglue": round(superglue["f1"], 3),
+             "superglue_weights": superglue["weights"]}
+            if superglue is not None
             else {}
         ),
     }
