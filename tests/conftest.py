@@ -85,6 +85,7 @@ HEAVY_TESTS = {
     "test_trained_loftr.py::test_shipped_loftr_checkpoint_meets_recall_milestone",
     "test_trained_loftr.py::test_shipped_loftr_improves_gate_decisions",
     "test_trained_superglue.py::test_shipped_superglue_checkpoint_meets_recall_milestone",
+    "test_trained_superglue.py::test_shipped_superglue_perfect_gate_decisions",
 }
 
 

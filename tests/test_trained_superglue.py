@@ -45,3 +45,18 @@ def test_shipped_superglue_checkpoint_meets_recall_milestone():
 
     assert trained["recall"] >= 0.3, trained
     assert trained["recall"] >= rnd["recall"] + 0.25, (trained, rnd)
+
+
+@requires_checkpoint
+def test_shipped_superglue_perfect_gate_decisions():
+    """Decision level: the trained Sinkhorn stack measured F1 1.0 on all
+    8 quality-scene seeds (BENCH_NOTES); pin >= 0.95 on one held-out
+    seed to leave numeric margin."""
+    from mlis_tpu.eval.quality import make_quality_scene, run_gate_quality
+
+    scene = make_quality_scene(n_places=8, seed=5)
+    out = run_gate_quality("superglue", scene=scene, seed=5)
+    assert out["weights"] == "superglue_homog.npz"
+    assert out["f1"] >= 0.95, out
+    assert out["false_positives"] == 0, out
+    assert out["gating_effectiveness"] == 1.0
