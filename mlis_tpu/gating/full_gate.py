@@ -265,9 +265,7 @@ class FullGatePipeline:
             and n * n < 2**31
         ):
             k = min(self.top_k, n)
-            M = 1 << (
-                max(int(min(survivor_budget, n * k)), 1) - 1
-            ).bit_length()  # power-of-2 budget bounds compile count
+            M = self._budget_slots(min(survivor_budget, n * k))
             M = int(min(M, n * k))
             H, W = int(images.shape[1]), int(images.shape[2])
             mega = self._get_mega((H, W), K, k, M, n)
@@ -616,6 +614,21 @@ class FullGatePipeline:
                 hw, K, self.verifier.ransac_threshold
             )
         return cache[fused_key]
+
+    @staticmethod
+    def _budget_slots(s) -> int:
+        """Round a survivor budget up to quarter-octave granularity
+        ({5, 6, 7, 8} * 2^k: ..., 512, 640, 768, 896, 1024, 1280, ...).
+        The fused matcher's cost scales with the slot count, so padding is
+        pure waste: power-of-2 rounding pays up to ~2x (an 814-survivor
+        gate would run 1024 slots; this runs 896) while 4 distinct sizes
+        per octave still bounds the jit-cache compile count."""
+        s = max(int(s), 1)
+        if s <= 16:
+            return 16
+        p = 1 << (s - 1).bit_length()  # next pow2 >= s, so s in (p/2, p]
+        q = p // 8
+        return -(-s // q) * q  # ceil to a multiple of p/8: {5,6,7,8}*p/8
 
     @staticmethod
     def _bucket_sizes(n_pairs: int, B: int) -> List[int]:
