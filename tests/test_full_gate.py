@@ -330,3 +330,25 @@ def test_full_gate_monolithic_matches_two_phase(rng):
             survivor_budget=1, monolithic=True,
         )
         assert over.verified == two_phase.verified
+
+
+def test_budget_slots_quarter_octave():
+    """Survivor budgets round up to {5,6,7,8}*2^k slot counts: tighter
+    than power-of-2 padding (an 814-survivor gate pays 896 slots, not
+    1024) while keeping at most 4 distinct fused-matcher shapes per
+    octave in the jit cache."""
+    f = FullGatePipeline._budget_slots
+    for s in (1, 7, 16):
+        assert f(s) == 16  # floor
+    for s, want in [
+        (17, 20), (24, 24), (25, 28), (64, 64), (65, 80),
+        (513, 640), (768, 768), (814, 896), (896, 896),
+        (897, 1024), (1024, 1024), (1025, 1280),
+    ]:
+        assert f(s) == want, (s, f(s), want)
+    # invariants: never below the request, at most 4 sizes per octave
+    for s in range(17, 5000):
+        m = f(s)
+        assert m >= s
+        p = 1 << (m - 1).bit_length() if m & (m - 1) else m
+        assert m % (p // 8) == 0 and m // (p // 8) in (5, 6, 7, 8)
