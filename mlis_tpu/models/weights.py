@@ -79,8 +79,15 @@ def default_matcher_checkpoint() -> str | None:
 
 def default_loftr_checkpoint() -> str | None:
     """Path of the shipped in-env-trained LoFTR checkpoint
-    (train/pretrain_loftr.py homography self-supervision), or None."""
-    return _shipped_checkpoint("loftr_homog.npz")
+    (train/pretrain_loftr.py homography self-supervision), or None.
+
+    Preference order:
+      1. loftr_homog_v2.npz — chip-trained at 256x320 (4000 steps);
+         quality-scene F1 0.72 vs 0.61 for v1 (the 270x360 eval sits
+         much closer to its training resolution);
+      2. loftr_homog.npz — the CPU-trained 128x160 fallback.
+    """
+    return _shipped_checkpoint("loftr_homog_v2.npz", "loftr_homog.npz")
 
 
 def default_superglue_checkpoint() -> str | None:

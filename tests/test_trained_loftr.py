@@ -18,12 +18,16 @@ import jax
 import numpy as np
 import pytest
 
-CKPT = os.path.join(
-    os.path.dirname(__file__), "..", "checkpoints", "loftr_homog.npz"
-)
+def _default_ckpt():
+    from mlis_tpu.models.weights import default_loftr_checkpoint
+
+    return default_loftr_checkpoint()
+
+
+CKPT = _default_ckpt()
 
 requires_checkpoint = pytest.mark.skipif(
-    not os.path.exists(CKPT), reason="shipped LoFTR checkpoint not present"
+    CKPT is None, reason="shipped LoFTR checkpoint not present"
 )
 
 
@@ -57,6 +61,6 @@ def test_shipped_loftr_improves_gate_decisions():
     scene = make_quality_scene(n_places=4, hw=(128, 160))
     trained = run_gate_quality("loftr", scene=scene)
     rnd = run_gate_quality("loftr", scene=scene, weights_path="/nonexistent")
-    assert trained["weights"] == "loftr_homog.npz"
+    assert trained["weights"] == os.path.basename(CKPT)
     assert trained["f1"] > rnd["f1"], (trained["f1"], rnd["f1"])
     assert trained["gating_effectiveness"] == 1.0
