@@ -134,18 +134,33 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     f = 200.0 * (res_w / 360.0)
     K = np.array([[f, 0, res_w / 2], [0, f, res_h / 2], [0, 0, 1.0]])
 
-    matcher = LightGlue(
+    # MLIS_MATCHER_ARCH=superglue swaps the gate's matcher head for the
+    # Sinkhorn-dustbin variant (quality-optimal stack: F1 1.0 on the GT
+    # scene sweep). On TPU at this batch/kpt regime both heads are
+    # HBM-bound on the same attention stack (bench_matchers: 436 vs 444
+    # pairs/s), so the swap is near-free — unlike the reference's GPUs
+    # where SuperGlue runs 10x slower than LightGlue (README.md:41-45).
+    arch = os.environ.get("MLIS_MATCHER_ARCH", "lightglue")
+    from mlis_tpu.models.lightglue import SuperGlue
+    from mlis_tpu.models.weights import (
+        default_matcher_checkpoint,
+        default_superglue_checkpoint,
+    )
+
+    mcls = SuperGlue if arch == "superglue" else LightGlue
+    matcher = mcls(
         sp_cfg=SuperPointConfig(max_keypoints=max_kpts),
-        matcher_cfg=MatcherConfig.lightglue(),
+        matcher_cfg=mcls.matcher_cfg_factory(),
     )
     # in-env trained homography-pretrained weights (train/pretrain_matcher):
     # loaded when shipped; MLIS_MATCHER_WEIGHTS overrides the path, =0 disables
     weights = "random_init"
-    from mlis_tpu.models.weights import default_matcher_checkpoint
-
-    wpath = os.environ.get(
-        "MLIS_MATCHER_WEIGHTS", default_matcher_checkpoint() or ""
+    default_ckpt = (
+        default_superglue_checkpoint()
+        if arch == "superglue"
+        else default_matcher_checkpoint()
     )
+    wpath = os.environ.get("MLIS_MATCHER_WEIGHTS", default_ckpt or "")
     if wpath not in ("0", "") and os.path.exists(wpath):
         matcher.load_weights(wpath, image_hw=(res_h, res_w))
         weights = os.path.basename(wpath)
@@ -220,6 +235,7 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         "unit": "pairs/s",
         "vs_baseline": round(best.pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 3),
         "matcher_weights": weights,
+        "matcher_arch": arch,
         "compute_pairs_per_sec": round(compute_res.pairs_per_sec, 1),
         # modeled compute (utils/flops.py) over the measured wall clock —
         # wall includes host->device upload through the TPU tunnel, so

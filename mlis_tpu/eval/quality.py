@@ -202,6 +202,11 @@ def run_gate_quality(
     seed: int = 0,
     scene: Optional[QualityScene] = None,
     weights_path: Optional[str] = None,  # matcher='trained': explicit ckpt
+    # keypoint pruning (FullGatePipeline match_top_k): detect
+    # max_keypoints but MATCH only the top-N by detector score — the
+    # bench's fullres lever; exposed here so its decision-quality cost
+    # can be measured on the GT scene
+    match_top_k: Optional[int] = None,
 ) -> Dict:
     """Build the scene, run the full gate, score the decisions.
 
@@ -298,6 +303,7 @@ def run_gate_quality(
             verify_batch=verify_batch,
             strict_floor=strict_floor,
             matcher_weights=None,
+            match_top_k=match_top_k,
         )
     else:
         pipe = FullGatePipeline(
@@ -309,6 +315,7 @@ def run_gate_quality(
             verify_batch=verify_batch,
             strict_floor=strict_floor,
             matcher_weights=None,
+            match_top_k=match_top_k,
         )
         enc_fn = getattr(pipe.spr.vpr, "encode_batch_device", None)
 
