@@ -164,21 +164,34 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     if wpath not in ("0", "") and os.path.exists(wpath):
         matcher.load_weights(wpath, image_hw=(res_h, res_w))
         weights = os.path.basename(wpath)
+    # keypoint pruning (LightGlue-style): detect the full budget but MATCH
+    # only the top-N keypoints by detector score. N defaults to 512 — the
+    # matcher's own training budget (pretrain_matcher --kpts 512). The GT
+    # quality scene measures the pruning as decision-neutral at
+    # detect-1024 (seeds 0-2: F1 0.800/0.857/0.968 pruned vs
+    # 0.800/0.897/0.938 unpruned, mean 0.875 vs 0.878) while the
+    # matcher's O(K^2) attention — the mega program's dominant cost —
+    # shrinks 4x. MLIS_MATCH_TOP_K overrides; 0 disables pruning.
+    mtk_env = os.environ.get("MLIS_MATCH_TOP_K", "")
+    # fullres keeps its established 2048->1024 pruning (the quality A/B
+    # was measured at the half-res scene); half-res prunes to the
+    # trained budget 512
+    match_top_k = int(mtk_env) if mtk_env else (1024 if fullres else 512)
     pipe = FullGatePipeline(
         vpr_method="mixvpr",
         verifier=GeometricVerifier(matcher=matcher),
         similarity_threshold=0.3,
-        # fullres: detect the reference's full 2048-kpt budget but match
-        # the top 1024 by score (LightGlue-style keypoint pruning) — the
-        # matcher's O(K^2) attention then matches the half-res cost and
-        # batch 256 fits HBM again
         verify_batch=256,
         detect_scale=1.0,
-        match_top_k=1024 if fullres else None,
+        match_top_k=match_top_k or None,
         matcher_weights=None,  # loaded explicitly above, reported in the line
     )
 
     from mlis_tpu.utils.flops import V5E_PEAK_BF16, full_gate_flops
+
+    # matcher FLOPs scale with the MATCHED keypoint count (pruning), not
+    # the detected budget
+    matched_kpts = match_top_k or max_kpts
 
     best = None
     budget = None  # rep 0 runs the exact two-phase path, later reps use
@@ -236,13 +249,15 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         "vs_baseline": round(best.pairs_per_sec / NORTH_STAR_PAIRS_PER_SEC, 3),
         "matcher_weights": weights,
         "matcher_arch": arch,
+        "detect_kpts": max_kpts,
+        "match_kpts": matched_kpts,
         "compute_pairs_per_sec": round(compute_res.pairs_per_sec, 1),
         # modeled compute (utils/flops.py) over the measured wall clock —
         # wall includes host->device upload through the TPU tunnel, so
         # this is an end-to-end MFU, not a kernel MFU
         "tflops": round(
             full_gate_flops(
-                n_keyframes, best.verified, (res_h, res_w), max_kpts
+                n_keyframes, best.verified, (res_h, res_w), matched_kpts
             )
             / best.elapsed_s
             / 1e12,
@@ -250,7 +265,7 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         ),
         "mfu": round(
             full_gate_flops(
-                n_keyframes, best.verified, (res_h, res_w), max_kpts
+                n_keyframes, best.verified, (res_h, res_w), matched_kpts
             )
             / best.elapsed_s
             / V5E_PEAK_BF16,
