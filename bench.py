@@ -148,12 +148,11 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     )
 
     mcls = SuperGlue if arch == "superglue" else LightGlue
-    matcher = mcls(
-        sp_cfg=SuperPointConfig(max_keypoints=max_kpts),
-        matcher_cfg=mcls.matcher_cfg_factory(),
-    )
     # in-env trained homography-pretrained weights (train/pretrain_matcher):
-    # loaded when shipped; MLIS_MATCHER_WEIGHTS overrides the path, =0 disables
+    # loaded when shipped; MLIS_MATCHER_WEIGHTS overrides the path, =0
+    # disables. Checkpoints are self-describing (depth/dim inferred from
+    # the npz — weights.matcher_arch_from_npz), so depth-pruned
+    # throughput variants load through the same path.
     weights = "random_init"
     default_ckpt = (
         default_superglue_checkpoint()
@@ -161,7 +160,17 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         else default_matcher_checkpoint()
     )
     wpath = os.environ.get("MLIS_MATCHER_WEIGHTS", default_ckpt or "")
-    if wpath not in ("0", "") and os.path.exists(wpath):
+    have_ckpt = wpath not in ("0", "") and os.path.exists(wpath)
+    cfg_kw = {}
+    if have_ckpt:
+        from mlis_tpu.models.weights import matcher_arch_from_npz
+
+        cfg_kw = matcher_arch_from_npz(wpath)
+    matcher = mcls(
+        sp_cfg=SuperPointConfig(max_keypoints=max_kpts),
+        matcher_cfg=mcls.matcher_cfg_factory(**cfg_kw),
+    )
+    if have_ckpt:
         matcher.load_weights(wpath, image_hw=(res_h, res_w))
         weights = os.path.basename(wpath)
     # keypoint pruning (LightGlue-style): detect the full budget but MATCH
@@ -185,6 +194,13 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         detect_scale=1.0,
         match_top_k=match_top_k or None,
         matcher_weights=None,  # loaded explicitly above, reported in the line
+        # RANSAC hypothesis budget (default 512); probe knob for the
+        # verify-stage decomposition
+        num_hypotheses=int(os.environ.get("MLIS_RANSAC_HYPOTHESES", "512")),
+        # two-stage RANSAC scoring: rank hypotheses on a stratified
+        # point subset, rescore finalists on all points (0 = classic
+        # full scoring; see ops/epipolar.essential_ransac)
+        ransac_subset=int(os.environ.get("MLIS_RANSAC_SUBSET", "0")),
     )
 
     from mlis_tpu.utils.flops import V5E_PEAK_BF16, full_gate_flops
@@ -257,7 +273,8 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         # this is an end-to-end MFU, not a kernel MFU
         "tflops": round(
             full_gate_flops(
-                n_keyframes, best.verified, (res_h, res_w), matched_kpts
+                n_keyframes, best.verified, (res_h, res_w), matched_kpts,
+                matcher_dim=matcher.cfg.dim, matcher_depth=matcher.cfg.depth,
             )
             / best.elapsed_s
             / 1e12,
@@ -265,7 +282,8 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         ),
         "mfu": round(
             full_gate_flops(
-                n_keyframes, best.verified, (res_h, res_w), matched_kpts
+                n_keyframes, best.verified, (res_h, res_w), matched_kpts,
+                matcher_dim=matcher.cfg.dim, matcher_depth=matcher.cfg.depth,
             )
             / best.elapsed_s
             / V5E_PEAK_BF16,

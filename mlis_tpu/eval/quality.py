@@ -207,6 +207,15 @@ def run_gate_quality(
     # bench's fullres lever; exposed here so its decision-quality cost
     # can be measured on the GT scene
     match_top_k: Optional[int] = None,
+    # two-stage RANSAC hypothesis scoring (ops/epipolar.essential_ransac
+    # score_subset); exposed so its decision-quality cost is measurable
+    ransac_subset: int = 0,
+    # confident-match acceptance cut for the lightglue-family branches
+    # (GeometricVerifier min_confident_matches); thr 6 is the validated
+    # default for the shipped depth-9 checkpoint — exposed so alternative
+    # checkpoints (e.g. depth-pruned variants with different confidence
+    # calibration) can be swept on the GT scenes
+    min_confident_matches: int = 6,
 ) -> Dict:
     """Build the scene, run the full gate, score the decisions.
 
@@ -257,26 +266,38 @@ def run_gate_quality(
             weights = os.path.basename(path)
         verifier = GeometricVerifier(matcher=sg)
     else:
-        lg = LightGlue(
-            sp_cfg=SuperPointConfig(max_keypoints=max_keypoints),
-            matcher_cfg=MatcherConfig.lightglue(),
-        )
         weights = "random_init"
+        path = None
         if matcher == "trained":
             import os
 
             from mlis_tpu.models.weights import default_matcher_checkpoint
 
             path = weights_path or default_matcher_checkpoint()
-            if path and os.path.exists(path):
-                lg.load_weights(path, image_hw=hw)
-                weights = os.path.basename(path)
+            if not (path and os.path.exists(path)):
+                path = None
+        cfg_kw = {}
+        if path:
+            # checkpoints are self-describing (depth/dim inferred from the
+            # npz) so depth-pruned variants A/B through the same runner
+            from mlis_tpu.models.weights import matcher_arch_from_npz
+
+            cfg_kw = matcher_arch_from_npz(path)
+        lg = LightGlue(
+            sp_cfg=SuperPointConfig(max_keypoints=max_keypoints),
+            matcher_cfg=MatcherConfig.lightglue(**cfg_kw),
+        )
+        if path:
+            lg.load_weights(path, image_hw=hw)
+            weights = os.path.basename(path)
         # confident-match cut: repeated-structure false pairs RANSAC-pass
         # with 20-28 inliers but carry <= 5 confident matches (true loop
         # closures: typically 10-70) — see GeometricVerifier docstring.
         # thr 6 measured precision 1.0 on ALL of seeds 0-7 (incl. 5
         # held-out) while keeping more recall than 8 (BENCH_NOTES.md)
-        verifier = GeometricVerifier(matcher=lg, min_confident_matches=6)
+        verifier = GeometricVerifier(
+            matcher=lg, min_confident_matches=min_confident_matches
+        )
 
     if encoder == "trained_vpr":
         # in-env warp-invariance-pretrained tiny ViT (train/pretrain_vpr):
@@ -304,6 +325,7 @@ def run_gate_quality(
             strict_floor=strict_floor,
             matcher_weights=None,
             match_top_k=match_top_k,
+            ransac_subset=ransac_subset,
         )
     else:
         pipe = FullGatePipeline(
@@ -316,6 +338,7 @@ def run_gate_quality(
             strict_floor=strict_floor,
             matcher_weights=None,
             match_top_k=match_top_k,
+            ransac_subset=ransac_subset,
         )
         enc_fn = getattr(pipe.spr.vpr, "encode_batch_device", None)
 

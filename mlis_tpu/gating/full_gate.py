@@ -183,9 +183,19 @@ class FullGatePipeline:
         detect_scale: float = 1.0,
         match_top_k: Optional[int] = None,
         matcher_weights: Optional[str] = "auto",
+        num_hypotheses: int = 512,
+        ransac_subset: int = 0,
         **model_kwargs,
     ):
         self.detect_scale = detect_scale
+        # RANSAC hypothesis budget for the fused verify stage (the
+        # reference's cv2.findEssentialMat iterates adaptively,
+        # geometric_verification.py:104-188; this is the fixed-budget
+        # static-shape analogue — see ops/epipolar.py). ransac_subset > 0
+        # enables two-stage hypothesis scoring (rank all hypotheses on a
+        # stratified point subset, rescore finalists on all points).
+        self.num_hypotheses = int(num_hypotheses)
+        self.ransac_subset = int(ransac_subset)
         # keypoint pruning: detect the full budget (e.g. the reference's
         # 2048, geometric_verification.py:216-242) but MATCH only the
         # top-match_top_k keypoints by detector score — the matcher's
@@ -605,13 +615,18 @@ class FullGatePipeline:
         )
 
     def _get_fused(self, matcher, hw, K):
-        fused_key = (hw, float(np.asarray(K)[0, 0]), "match_only")
+        fused_key = (
+            hw, float(np.asarray(K)[0, 0]), "match_only",
+            self.num_hypotheses, self.ransac_subset,
+        )
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
         if fused_key not in cache:
             cache[fused_key] = matcher.make_fused_match_verify(
-                hw, K, self.verifier.ransac_threshold
+                hw, K, self.verifier.ransac_threshold,
+                num_hypotheses=self.num_hypotheses,
+                ransac_subset=self.ransac_subset,
             )
         return cache[fused_key]
 

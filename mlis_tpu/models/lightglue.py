@@ -391,6 +391,7 @@ class LightGlue(BaseFeatureMatcher):
         ransac_threshold: float = 3.0,
         num_hypotheses: int = 512,
         confident_threshold: float = 0.5,
+        ransac_subset: int = 0,
     ):
         """Fused matcher + RANSAC + pose over PRE-DETECTED keypoints.
 
@@ -429,7 +430,7 @@ class LightGlue(BaseFeatureMatcher):
             mk1 = jnp.take_along_axis(kp1.coords, idx[..., None], axis=1)
             res, T, good = essential_ransac_batch(
                 kp0.coords, mk1, matches.valid, K_j, key,
-                num_hypotheses, ransac_threshold,
+                num_hypotheses, ransac_threshold, ransac_subset,
             )
             return (
                 jnp.sum(kp0.mask, axis=1),

@@ -96,6 +96,30 @@ def default_superglue_checkpoint() -> str | None:
     return _shipped_checkpoint("superglue_homog.npz")
 
 
+def matcher_arch_from_npz(path: str) -> Dict[str, int]:
+    """Infer the MatcherConfig structural fields (depth, dim,
+    descriptor_dim, num_heads) from a save_weights npz.
+
+    The matcher blocks are an nn.scan stack (params carry a leading depth
+    axis), in_proj's kernel is (descriptor_dim, dim), and the rotary
+    posenc kernel is (2, head_dim // 2) — so a checkpoint fully
+    determines its own architecture and callers (bench.py,
+    eval/quality.py) can build a matching model for ANY shipped variant
+    (e.g. a depth-pruned throughput checkpoint) without metadata
+    side-channels."""
+    with np.load(path) as z:
+        in_proj = z["matcher:in_proj/kernel"]
+        depth = int(z["matcher:blocks/self/q/kernel"].shape[0])
+        head_dim = 2 * int(z["matcher:posenc/Wr"].shape[1])
+    descriptor_dim, dim = int(in_proj.shape[0]), int(in_proj.shape[1])
+    return {
+        "descriptor_dim": descriptor_dim,
+        "dim": dim,
+        "depth": depth,
+        "num_heads": dim // head_dim,
+    }
+
+
 def load_params_npz(path: str) -> Dict[str, Any]:
     """Load a save_params_npz file -> {name: param_tree} with f32 floats."""
     with np.load(path) as z:

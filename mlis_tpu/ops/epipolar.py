@@ -111,7 +111,9 @@ def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarr
     return err**2 / jnp.maximum(denom, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "score_subset")
+)
 def essential_ransac(
     kpts1: jnp.ndarray,  # (N, 2) pixel coords
     kpts2: jnp.ndarray,  # (N, 2)
@@ -120,8 +122,19 @@ def essential_ransac(
     key: jax.Array,
     num_hypotheses: int = 512,
     threshold_px: float = 3.0,
+    score_subset: int = 0,
 ) -> EssentialResult:
-    """Fixed-budget RANSAC for one pair (vmap over pairs for batches)."""
+    """Fixed-budget RANSAC for one pair (vmap over pairs for batches).
+
+    score_subset > 0 enables two-stage hypothesis scoring (the classic
+    preemptive-RANSAC trick, and the TPU analogue of OpenCV's early-exit
+    inner loop): all H hypotheses are ranked on a stratified subset of
+    `score_subset` valid correspondences — an (H, S) problem instead of
+    (H, N) — and only the TOP_K finalists are essential-projected and
+    rescored on ALL N points. The returned inlier mask/count/ratio are
+    always computed on the full N with the projected E, so only finalist
+    SELECTION is approximate. 0 = score every hypothesis on all N.
+    """
     N = kpts1.shape[0]
     x1 = normalize_points(kpts1.astype(jnp.float32), K)
     x2 = normalize_points(kpts2.astype(jnp.float32), K)
@@ -140,9 +153,18 @@ def essential_ransac(
     f_mean = 0.5 * (K[0, 0] + K[1, 1])
     thr = (threshold_px / f_mean) ** 2
 
-    errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, N)
-    inl = (errs < thr) & valid[None, :]
-    counts = jnp.sum(inl, axis=1)
+    if 0 < score_subset < N:
+        # stage A: stratified subset of the valid-first permutation —
+        # positions j*n_valid/S for j in [0, S) all land in [0, n_valid)
+        S = int(score_subset)
+        pos = (jnp.arange(S) * jnp.maximum(n_valid, 1)) // S
+        sub = order[jnp.minimum(pos, N - 1)]  # (S,) indices into 0..N-1
+        x1s, x2s, vs = x1[sub], x2[sub], valid[sub]
+        errs = jax.vmap(lambda E: sampson_error(E, x1s, x2s))(Es)  # (H, S)
+        counts = jnp.sum((errs < thr) & vs[None, :], axis=1)
+    else:
+        errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)  # (H, N)
+        counts = jnp.sum((errs < thr) & valid[None, :], axis=1)
 
     # The gauge-fixed fit is a general fundamental-style solution; a
     # hypothesis can score well unprojected yet sit far from the essential
@@ -219,7 +241,9 @@ def recover_pose(
     return T, scores[best].astype(jnp.int32), jnp.linalg.det(R)
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "score_subset")
+)
 def essential_ransac_batch(
     kpts1: jnp.ndarray,  # (P, N, 2)
     kpts2: jnp.ndarray,
@@ -228,13 +252,16 @@ def essential_ransac_batch(
     key: jax.Array,
     num_hypotheses: int = 512,
     threshold_px: float = 3.0,
+    score_subset: int = 0,
 ):
     """RANSAC + pose recovery for a whole batch of candidate pairs."""
     P = kpts1.shape[0]
     keys = jax.random.split(key, P)
 
     def one(k1, k2, v, kk):
-        res = essential_ransac(k1, k2, v, K, kk, num_hypotheses, threshold_px)
+        res = essential_ransac(
+            k1, k2, v, K, kk, num_hypotheses, threshold_px, score_subset
+        )
         T, good, det = recover_pose(res.E, k1, k2, res.inlier_mask, K)
         return res, T, good
 

@@ -73,6 +73,18 @@ def main(argv=None) -> dict:
         "--tiny", action="store_true",
         help="tiny model + small images (CPU smoke test of the driver)",
     )
+    ap.add_argument(
+        "--depth", type=int, default=9,
+        help="matcher transformer depth (default 9, the official "
+        "LightGlue depth); smaller = throughput-pruned variant (the "
+        "static-shape analogue of official LightGlue's adaptive early "
+        "exit). Checkpoints are self-describing — "
+        "models/weights.matcher_arch_from_npz recovers the architecture",
+    )
+    ap.add_argument(
+        "--dim", type=int, default=256,
+        help="matcher feature width (default 256)",
+    )
     args = ap.parse_args(argv)
     if args.tiny:
         args.kpts, args.height, args.width = 48, 64, 96
@@ -104,7 +116,11 @@ def main(argv=None) -> dict:
                 assignment="sinkhorn" if args.arch == "superglue" else "dual_softmax"
             )
             if args.tiny
-            else None  # __init__ falls back to cls.matcher_cfg_factory
+            else (
+                None  # __init__ falls back to cls.matcher_cfg_factory
+                if args.depth == 9 and args.dim == 256
+                else cls.matcher_cfg_factory(depth=args.depth, dim=args.dim)
+            )
         ),
         seed=args.seed,
     )
@@ -148,7 +164,7 @@ def main(argv=None) -> dict:
     history = {
         "config": {k: getattr(args, k.replace("-", "_")) for k in (
             "steps", "chunk", "batch", "kpts", "height", "width",
-            "peak_lr", "warmup", "seed",
+            "peak_lr", "warmup", "seed", "depth", "dim",
         )},
     }
 

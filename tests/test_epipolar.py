@@ -134,3 +134,53 @@ def test_batched_ransac_pose(rng):
     assert T.shape == (4, 4, 4)
     assert (np.asarray(res.num_inliers) > 90).all()
     assert (np.asarray(good) > 80).all()
+
+
+# -- two-stage hypothesis scoring (score_subset) -------------------------------
+
+
+def test_two_stage_scoring_matches_full_on_outlier_scene(rng):
+    """Ranking hypotheses on a stratified point subset must find the same
+    consensus set as full scoring (the final mask/count are ALWAYS
+    computed on all N points with the projected E)."""
+    k1, k2, R, t = _two_view_scene(rng, n=200, noise_px=0.3, outlier_frac=0.3)
+    valid = jnp.ones(200, bool)
+    args = (jnp.asarray(k1), jnp.asarray(k2), valid, jnp.asarray(K_CAM),
+            jax.random.PRNGKey(7))
+    full = essential_ransac(*args, num_hypotheses=256)
+    two = essential_ransac(*args, num_hypotheses=256, score_subset=48)
+    # ~140 true inliers; both scorings must recover the consensus set
+    assert int(full.num_inliers) > 90
+    assert int(two.num_inliers) > 90
+    assert abs(int(two.num_inliers) - int(full.num_inliers)) < 20
+
+
+def test_two_stage_subset_geq_n_is_exact_full_path(rng):
+    """score_subset >= N (or 0) is bit-identical to classic full scoring."""
+    k1, k2, *_ = _two_view_scene(rng, n=64, noise_px=0.3, outlier_frac=0.2)
+    valid = jnp.ones(64, bool)
+    args = (jnp.asarray(k1), jnp.asarray(k2), valid, jnp.asarray(K_CAM),
+            jax.random.PRNGKey(3))
+    full = essential_ransac(*args, num_hypotheses=128)
+    same = essential_ransac(*args, num_hypotheses=128, score_subset=64)
+    assert int(full.num_inliers) == int(same.num_inliers)
+    np.testing.assert_array_equal(
+        np.asarray(full.inlier_mask), np.asarray(same.inlier_mask)
+    )
+
+
+def test_two_stage_scoring_with_padded_slots(rng):
+    """The stratified subset must draw only from VALID (compacted-first)
+    slots; padded correspondences stay excluded from inlier counts."""
+    k1, k2, *_ = _two_view_scene(rng, n=96, noise_px=0.3)
+    pad = 160 - 96
+    k1p = np.concatenate([k1, np.zeros((pad, 2))])
+    k2p = np.concatenate([k2, np.zeros((pad, 2))])
+    valid = jnp.asarray([True] * 96 + [False] * pad)
+    res = essential_ransac(
+        jnp.asarray(k1p), jnp.asarray(k2p), valid, jnp.asarray(K_CAM),
+        jax.random.PRNGKey(11), num_hypotheses=256, score_subset=32,
+    )
+    assert int(res.num_inliers) > 80
+    assert not np.asarray(res.inlier_mask)[96:].any()
+    assert float(res.inlier_ratio) <= 1.0

@@ -175,3 +175,38 @@ def test_vit_remat_matches_forward_and_grads(rng):
     g_r = jax.grad(loss(m_remat))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+def test_matcher_checkpoints_are_self_describing(tmp_path):
+    """save_weights npzs carry their architecture in their shapes:
+    matcher_arch_from_npz must recover (depth, dim, heads) so bench.py /
+    eval/quality.py can rebuild a matching model for ANY shipped variant
+    (e.g. a depth-pruned throughput checkpoint) without metadata."""
+    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+    from mlis_tpu.models.superpoint import SuperPointConfig
+    from mlis_tpu.models.weights import matcher_arch_from_npz
+
+    cfg = MatcherConfig(
+        descriptor_dim=32, dim=48, num_heads=2, depth=3
+    )
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=32),
+        matcher_cfg=cfg,
+    )
+    hw = (64, 96)
+    lg.sp.init_params(hw)
+    lg._init(32, 32, hw)
+    path = str(tmp_path / "m.npz")
+    lg.save_weights(path)
+
+    arch = matcher_arch_from_npz(path)
+    assert arch == {
+        "descriptor_dim": 32, "dim": 48, "depth": 3, "num_heads": 2
+    }
+
+    # a model rebuilt from the inferred arch loads the checkpoint cleanly
+    lg2 = LightGlue(
+        sp_cfg=SuperPointConfig.tiny_test(max_keypoints=32),
+        matcher_cfg=MatcherConfig(**arch),
+    )
+    lg2.load_weights(path, image_hw=hw)
