@@ -154,11 +154,17 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     # the npz — weights.matcher_arch_from_npz), so depth-pruned
     # throughput variants load through the same path.
     weights = "random_init"
-    default_ckpt = (
-        default_superglue_checkpoint()
-        if arch == "superglue"
-        else default_matcher_checkpoint()
-    )
+    if arch == "superglue":
+        default_ckpt = default_superglue_checkpoint()
+    elif fullres:
+        # the fullres protocol loads the 540x720/1024-kpt-trained matcher
+        # (GT-scene mean F1 0.93 vs 0.75 for the half-res-trained default
+        # at this resolution — BENCH_NOTES "Fullres-trained matcher")
+        from mlis_tpu.models.weights import default_fullres_matcher_checkpoint
+
+        default_ckpt = default_fullres_matcher_checkpoint()
+    else:
+        default_ckpt = default_matcher_checkpoint()
     wpath = os.environ.get("MLIS_MATCHER_WEIGHTS", default_ckpt or "")
     have_ckpt = wpath not in ("0", "") and os.path.exists(wpath)
     cfg_kw = {}

@@ -271,9 +271,20 @@ def run_gate_quality(
         if matcher == "trained":
             import os
 
-            from mlis_tpu.models.weights import default_matcher_checkpoint
+            from mlis_tpu.models.weights import (
+                default_fullres_matcher_checkpoint,
+                default_matcher_checkpoint,
+            )
 
-            path = weights_path or default_matcher_checkpoint()
+            # at fullres, prefer the 540x720-trained checkpoint (mean GT
+            # F1 0.93 vs 0.75 for the half-res-trained one — BENCH_NOTES
+            # "Fullres-trained matcher")
+            default = (
+                default_fullres_matcher_checkpoint()
+                if hw[0] >= 540
+                else default_matcher_checkpoint()
+            )
+            path = weights_path or default
             if not (path and os.path.exists(path)):
                 path = None
         cfg_kw = {}

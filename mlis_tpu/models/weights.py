@@ -77,6 +77,22 @@ def default_matcher_checkpoint() -> str | None:
     return _shipped_checkpoint("lightglue_homog_sp.npz", "lightglue_homog.npz")
 
 
+def default_fullres_matcher_checkpoint() -> str | None:
+    """Path of the shipped matcher checkpoint for the FULLRES protocol
+    (540x720 / detect-2048 / match-1024), or the half-res default.
+
+    lightglue_homog_sp_fullres.npz is trained at 540x720 with a
+    1024-keypoint budget (`pretrain_matcher --height 540 --width 720
+    --kpts 1024 --init-from lightglue_homog_sp.npz --sp-init ...`);
+    on the GT quality scene at 540x720 it measures mean F1 0.93 vs 0.75
+    for the half-res-trained default (BENCH_NOTES "Fullres-trained
+    matcher"), closing the same train/eval resolution gap LoFTR v2
+    closed at 256x320."""
+    return _shipped_checkpoint(
+        "lightglue_homog_sp_fullres.npz"
+    ) or default_matcher_checkpoint()
+
+
 def default_loftr_checkpoint() -> str | None:
     """Path of the shipped in-env-trained LoFTR checkpoint
     (train/pretrain_loftr.py homography self-supervision), or None.
