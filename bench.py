@@ -102,7 +102,20 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
     from mlis_tpu.models.superpoint import SuperPointConfig
 
+    print(
+        "[bench] parity check (first TPU dispatch: tri-count pallas kernel "
+        "remote-compile; multi-minute on a degraded tunnel)...",
+        file=sys.stderr,
+        flush=True,
+    )
+    t_par = time.perf_counter()
     parity_ok = _check_parity()
+    print(
+        f"[bench] parity {'ok' if parity_ok else 'SKIPPED (no reference data)'} "
+        f"in {time.perf_counter() - t_par:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
     # fullres: native 540x720 NUFR keyframes with the reference's
     # max-2048-keypoint detector configuration
     # (geometric_verification.py:216-242) — reported alongside the
@@ -219,7 +232,13 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     budget = None  # rep 0 runs the exact two-phase path, later reps use
     # the observed survivor count as a device-compaction budget (overflow
     # falls back to exact — see FullGatePipeline.process survivor_budget)
-    for _ in range(reps):
+    print(
+        f"[bench] starting e2e reps (weights={weights}; rep 0 pays fresh "
+        "tunnel compiles, 1-3 min per new shape)",
+        file=sys.stderr,
+        flush=True,
+    )
+    for rep_i in range(reps):
         pipe.spr.vpr.descriptors = []
         pipe.spr.vpr._matrix_cache = None
         res = pipe.process(
@@ -231,6 +250,11 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
             # otherwise dominates on degraded days
         )
         budget = res.verified or None
+        print(
+            f"[bench] e2e rep {rep_i}: {res.pairs_per_sec:.1f} pairs/s",
+            file=sys.stderr,
+            flush=True,
+        )
         if best is None or res.pairs_per_sec > best.pairs_per_sec:
             best = res
 
@@ -242,7 +266,7 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     images_dev = _jax.device_put(images)
     _jax.block_until_ready(images_dev)
     compute_res = None
-    for _ in range(3):  # best-of-3: single reps eat multi-second tunnel stalls
+    for rep_i in range(3):  # best-of-3: single reps eat multi-second tunnel stalls
         pipe.spr.vpr.descriptors = []
         pipe.spr.vpr._matrix_cache = None
         r = pipe.process(
@@ -250,10 +274,13 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
             encode_batch_size=128, survivor_budget=budget,
             monolithic=True,
         )
+        print(
+            f"[bench] compute rep {rep_i}: {r.pairs_per_sec:.1f} pairs/s",
+            file=sys.stderr,
+            flush=True,
+        )
         if compute_res is None or r.pairs_per_sec > compute_res.pairs_per_sec:
             compute_res = r
-
-    import sys
 
     for name, r in (("best", best), ("compute", compute_res)):
         print(
