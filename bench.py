@@ -551,9 +551,12 @@ def bench_stream() -> dict:
     production shapes — 4096-entry device-resident ring buffer, 4096-d
     descriptors (MixVPR's output dim), micro-batch 16. Each micro-batch
     is ONE fused dispatch (retrieval + floor gate + top-k + insert), so
-    through the tunnel this mostly measures dispatch RTT; on a directly
-    attached chip the per-batch device time is sub-millisecond."""
-    from mlis_tpu.gating.streaming import StreamingGate
+    through the tunnel this mostly measures dispatch RTT; the
+    compute_keyframes_per_s field reports the on-chip rate (single
+    amortized dispatch over the same per-frame device work — see
+    streaming.measure_compute_rate), which is what a deployed front end
+    with a directly-attached chip sees."""
+    from mlis_tpu.gating.streaming import StreamingGate, measure_compute_rate
 
     rng = np.random.default_rng(0)
     D, C, M, N = 4096, 4096, 16, 512
@@ -567,11 +570,20 @@ def bench_stream() -> dict:
         sg.add_keyframes(desc[s : s + M], times[s : s + M], floors[s : s + M])
     dt = time.perf_counter() - t0
     kfps = (N - M) / dt
+    # compute-only serving rate: the number a deployed front end cares
+    # about (NUFR cameras publish at 20 Hz, bag_utils.py:55-65); the
+    # e2e loop above is tunnel-RTT-bound in this environment
+    comp = measure_compute_rate(capacity=C, dim=D, n_frames=2048)
     return {
         "metric": "streaming_gate_keyframes_per_s",
         "value": round(kfps, 1),
         "unit": "keyframes/s",
         "vs_baseline": round(kfps / 10.0, 2),  # 10 Hz keyframe stream
+        "compute_keyframes_per_s": round(comp["keyframes_per_s"], 1),
+        "compute_ms_per_keyframe": round(comp["ms_per_keyframe"], 3),
+        "compute_realtime_factor_20hz": round(
+            comp["keyframes_per_s"] / 20.0, 1
+        ),
         "ms_per_keyframe": round(1e3 * dt / (N - M), 3),
         "ms_per_dispatch": round(1e3 * dt / ((N - M) // M), 2),
         "micro_batch": M,

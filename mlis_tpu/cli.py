@@ -430,6 +430,15 @@ def _cmd_stream(args) -> int:
 
 
 def main(argv=None) -> int:
+    # sitecustomize pins jax_platforms=axon,cpu in every process; honour an
+    # explicit JAX_PLATFORMS=cpu request (CPU-only boxes, and runs that must
+    # not contend for the single-tenant TPU) the documented way
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     parser = argparse.ArgumentParser(prog="mlis_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd")
 

@@ -159,6 +159,75 @@ def _stream_step(
     return desc, times, floors, ids, count, scores, match_ids, jnp.sum(rejected)
 
 
+def measure_compute_rate(
+    capacity: int = 4096,
+    dim: int = 4096,
+    n_frames: int = 4096,
+    top_k: int = 10,
+    similarity_threshold: float = 0.5,
+    min_time_gap: float = 10.0,
+    strict_floor: bool = True,
+    reps: int = 3,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """On-chip (compute-only) StreamingGate rate in keyframes/s.
+
+    The serving path's per-keyframe device work is ONE ring-buffer
+    retrieval step inside `_stream_step`'s lax.scan — identical whether
+    the scan covers a 16-frame micro-batch or all `n_frames` at once
+    (the carry is the same ring buffer). So the probe dispatches a
+    single `_stream_step` over `n_frames` frames and times it with a
+    scalar fetch: the one dispatch+fetch round-trip amortizes to
+    ~RTT/n_frames per keyframe, isolating device time from the
+    per-micro-batch host round-trips that dominate `bench_stream`'s
+    end-to-end number through the TPU tunnel (BENCH_NOTES.md).
+
+    Returns {"keyframes_per_s", "ms_per_keyframe", "elapsed_s"} for the
+    best of `reps` timed executions (fresh ring state each rep — the
+    step donates its buffers).
+    """
+    import time
+
+    rng = np.random.default_rng(seed)
+    desc = l2_normalize(
+        jnp.asarray(rng.normal(size=(n_frames, dim)).astype(np.float32))
+    )
+    times = jnp.asarray(
+        np.arange(n_frames, dtype=np.float32) * (2.0 * min_time_gap)
+    )
+    floors = jnp.asarray(
+        rng.integers(1, 6, size=n_frames).astype(np.int32)
+    )
+    gids = jnp.arange(n_frames, dtype=jnp.int32)
+    jax.block_until_ready((desc, times, floors, gids))
+
+    def run() -> float:
+        s = _init_state(capacity, dim)
+        out = _stream_step(
+            s.desc, s.times, s.floors, s.ids, s.count,
+            desc, times, floors, gids,
+            k=top_k,
+            strict_floor=strict_floor,
+            min_time_gap=min_time_gap,
+            threshold=similarity_threshold,
+        )
+        # scalar fetch forces execution (block_until_ready does not block
+        # through the tunnel transport)
+        return float(jnp.sum(jnp.where(jnp.isfinite(out[5]), out[5], 0.0)))
+
+    run()  # compile warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "keyframes_per_s": n_frames / best,
+        "ms_per_keyframe": 1e3 * best / n_frames,
+        "elapsed_s": best,
+    }
+
+
 class StreamingGate:
     """Bounded-latency online gate: call `add_keyframes` per micro-batch.
 
