@@ -236,7 +236,8 @@ def _cmd_all(args) -> int:
     out = Path(args.output)
     print("[1/3] semantic gating analysis + comparison")
     results = run_comparison(
-        args.trajectory_root, str(out / "semantic_gating")
+        args.trajectory_root, str(out / "semantic_gating"),
+        per_algo_reports=True, make_figures=True,
     )
     for algo, r in results.items():
         print(
@@ -247,6 +248,19 @@ def _cmd_all(args) -> int:
     eval_results = run_full_evaluation(
         args.trajectory_root,
         output_path=str(out / "metrics" / "final_evaluation.json"),
+    )
+    # the reference's top-level published artifacts, generated
+    # (eval/report.py): summary markdown, Table IV CSV, summary tables
+    from mlis_tpu.eval.comprehensive import summary_tables
+    from mlis_tpu.eval.report import write_benchmark_summary, write_table_iv_csv
+
+    write_table_iv_csv(eval_results, out / "metrics" / "table_iv.csv")
+    (out / "metrics").mkdir(parents=True, exist_ok=True)
+    (out / "metrics" / "summary_tables.txt").write_text(
+        summary_tables(eval_results) + "\n"
+    )
+    write_benchmark_summary(
+        eval_results, results, out / "BENCHMARK_RESULTS_SUMMARY.md"
     )
 
     # combined semantic comparison: gating stats + trajectory ATE

@@ -87,6 +87,7 @@ class SemanticIntegration:
         self.floor_labels: Optional[np.ndarray] = None
         self.sequences: List[Tuple[str, Optional[int], Trajectory]] = []
         self.loop_gate: Optional[SemanticLoopClosureGate] = None
+        self.last_analysis: Optional[LoopClosureAnalysis] = None
 
     # -- pipeline stages ----------------------------------------------------
     def load_and_combine(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -204,7 +205,9 @@ class SemanticIntegration:
         make_figures: bool = False,
     ) -> str:
         self.load_and_combine()
-        analysis = self.analyze(distance_threshold, min_time_gap)
+        analysis = self.last_analysis = self.analyze(
+            distance_threshold, min_time_gap
+        )
         report = self.generate_report(analysis)
         if save_report:
             self.output_dir.mkdir(parents=True, exist_ok=True)
@@ -279,15 +282,31 @@ def run_comparison(
     output_dir: str = "./results/semantic_gating",
     algorithms: Optional[List[str]] = None,
     save_report: bool = True,
+    per_algo_reports: bool = False,
+    make_figures: bool = False,
 ) -> Dict[str, LoopClosureAnalysis]:
-    """Run all integrations and emit the cross-algorithm comparison stats."""
+    """Run all integrations and emit the cross-algorithm comparison stats.
+
+    per_algo_reports/make_figures additionally write each algorithm's
+    `<algo>_semantic_analysis.txt` and the three per-algorithm figures
+    (floor segmentation, 3D multi-floor, gating links) — the reference's
+    published per-algorithm artifact set under results/semantic_gating/.
+    """
     algorithms = algorithms or list(INTEGRATIONS)
     results: Dict[str, LoopClosureAnalysis] = {}
     meta: Dict[str, Dict] = {}
     for algo in algorithms:
         integ = INTEGRATIONS[algo](trajectory_root, output_dir)
-        combined, floors = integ.load_and_combine()
-        results[algo] = integ.analyze()
+        if per_algo_reports or make_figures:
+            integ.run_full_analysis(
+                save_report=per_algo_reports, make_figures=make_figures
+            )
+            # run_full_analysis already loaded + swept; reuse its state
+            results[algo] = integ.last_analysis
+            combined, floors = integ.combined, integ.floor_labels
+        else:
+            combined, floors = integ.load_and_combine()
+            results[algo] = integ.analyze()
         fl, counts = np.unique(floors, return_counts=True)
         meta[algo] = {
             "poses": len(combined),
