@@ -119,6 +119,225 @@ def make_quality_scene(
     return QualityScene(images, timestamps, floors, gt_pairs, aliased, K)
 
 
+def _rotation_matrix(angles: jnp.ndarray) -> jnp.ndarray:
+    """Rz(yaw) @ Ry(pitch) @ Rx(roll) from (roll, pitch, yaw) radians."""
+    rx, ry, rz = angles
+    cx, sx = jnp.cos(rx), jnp.sin(rx)
+    cy, sy = jnp.cos(ry), jnp.sin(ry)
+    cz, sz = jnp.cos(rz), jnp.sin(rz)
+    Rx = jnp.asarray([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = jnp.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = jnp.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def _plane_homography(K, Kinv, R, t, depth) -> jnp.ndarray:
+    """View-0 -> view-1 homography induced by the fronto-parallel plane
+    z = depth (normal n = e_z) under the relative motion X1 = R X0 + t:
+    H = K (R + t n^T / d) K^-1."""
+    return K @ (R + jnp.outer(t, jnp.asarray([0.0, 0.0, 1.0])) / depth) @ Kinv
+
+
+def _blob_mask(key, H: int, W: int, coverage: float, block: int = 40
+               ) -> jnp.ndarray:
+    """Irregular binary support mask (~coverage fraction of the frame) from
+    thresholded block noise — hard depth-discontinuity edges, like real
+    foreground structure seen against a farther wall."""
+    g = jax.random.uniform(key, (H // block + 2, W // block + 2))
+    up = jnp.repeat(jnp.repeat(g, block, axis=0), block, axis=1)[:H, :W]
+    thr = jnp.quantile(up, 1.0 - coverage)
+    return (up >= thr).astype(jnp.float32)
+
+
+def make_quality_scene_v2(
+    n_floors: int = 4,
+    n_places: int = 32,
+    hw: Tuple[int, int] = (270, 360),
+    depths: Tuple[float, ...] = (4.0, 7.0, 12.0),
+    layer_coverage: Tuple[float, ...] = (0.22, 0.40, 1.0),
+    max_rot_deg: float = 5.0,
+    max_trans: float = 0.45,
+    max_trans_z: float = 1.2,
+    occluder_frac: float = 0.20,
+    occluder_prob: float = 0.6,
+    brightness_jitter: float = 0.10,
+    alias_strengths: Tuple[float, ...] = (1.0, 0.85, 0.7),
+    frame_dt: float = 6.0,
+    seed: int = 0,
+) -> QualityScene:
+    """Harder GT scene: true two-view geometry instead of one homography.
+
+    Each place is a piecewise-planar 3D scene — `len(depths)` fronto-
+    parallel textured layers (near layers carry irregular blob support
+    masks, the farthest is a full background wall). The revisit
+    observation renders the SAME 3D scene from a different camera pose
+    (random rotation up to max_rot_deg and translation up to
+    max_trans/max_trans_z metres): every layer warps by its own
+    plane-induced homography H = K (R + t n^T/d) K^-1, so the views
+    exhibit real parallax (near/far layers shift differently — ~15 px
+    between d=4 m and d=12 m at the defaults), occlusion boundaries at
+    the mask edges, and scale change from the z-translation. A near
+    occluder plane additionally hides ~occluder_frac of a fraction of
+    the revisit views. The two views of a place are exactly consistent
+    with one essential matrix (what the verifier estimates), but NOT
+    with any single homography — matchers pretrained on homography
+    warps (train/matcher_trainer.py) are measurably out of distribution
+    here, which is what keeps the benchmark discriminative
+    (the v1 single-homography scene saturated at F1 1.0 — round-3
+    verdict Weak #1).
+
+    Aliasing (the reference's core problem, README.md:9-11): place p's
+    texture family and layer masks are SHARED across floors; floor k>0
+    blends alias_strengths[p % len] of the family texture with unique
+    per-floor noise, so cross-floor traps occur at VARYING similarity.
+    Floors 5/4/2/1 (the NUFR building's benchmarked floors).
+
+    Scale: n_floors x n_places x 2 passes keyframes (default 256, GT
+    pairs = 128 -> F1 quantized at ~0.008 instead of v1's ~0.03).
+    """
+    from mlis_tpu.train.matcher_trainer import synthetic_textures, warp_image
+
+    H, W = hw
+    P, F, L = n_places, n_floors, len(depths)
+    floors_list = ([5, 2, 4, 1] + list(range(6, 6 + max(0, n_floors - 4))))[
+        :n_floors
+    ]
+    key = jax.random.PRNGKey(seed)
+    (k_fam, k_uni, k_mask, k_pose, k_occ, k_bright, k_occtex) = (
+        jax.random.split(key, 7)
+    )
+
+    # texture families: (P, L, H, W) shared across floors; per-floor
+    # uniqueness blended in at the place's alias strength
+    fam = synthetic_textures(k_fam, P * L, H, W).reshape(P, L, H, W)
+    uni = synthetic_textures(k_uni, F * P * L, H, W).reshape(F, P, L, H, W)
+    alpha = jnp.asarray(
+        [alias_strengths[p % len(alias_strengths)] for p in range(P)]
+    )
+    # floor 0 observes the pure family; floor k>0 blends
+    tex = jnp.where(
+        (jnp.arange(F) == 0)[:, None, None, None, None],
+        fam[None],
+        alpha[None, :, None, None, None] * fam[None]
+        + (1 - alpha[None, :, None, None, None]) * uni,
+    )  # (F, P, L, H, W)
+
+    # layer support masks: per (place, layer), shared across floors (the
+    # repeated-structure geometry of the building); farthest layer = full
+    mask_keys = jax.random.split(k_mask, P * L).reshape(P, L, 2)
+    masks = np.ones((P, L, H, W), np.float32)
+    for p in range(P):
+        for l in range(L - 1):
+            masks[p, l] = np.asarray(
+                _blob_mask(mask_keys[p, l], H, W, layer_coverage[l])
+            )
+    masks = jnp.asarray(masks)
+
+    f = 200.0 * (W / 360.0)
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(K)
+
+    N = F * 2 * P
+    pose_keys = jax.random.split(k_pose, N)
+    occ_keys = jax.random.split(k_occ, N)
+    bright = jax.random.uniform(
+        k_bright, (N,), minval=-brightness_jitter, maxval=brightness_jitter
+    )
+    occ_tex = synthetic_textures(k_occtex, 8, H, W)
+
+    def render_one(p_tex, p_masks, R, t, occ_mask, occ_t, b):
+        """Composite the layered place from camera pose (R, t), far->near,
+        then paste the (possibly empty) occluder and brightness-jitter."""
+        out = jnp.zeros((H, W))
+        for l in range(L - 1, -1, -1):
+            Hm = _plane_homography(K, Kinv, R, t, depths[l])
+            img_l = warp_image(p_tex[l], Hm)
+            m_l = warp_image(p_masks[l], Hm)
+            # the farthest (full-support) layer keeps zero-fill at frame
+            # borders that left the view — same border semantics as v1
+            out = jnp.where(m_l > 0.5, img_l, out)
+        out = jnp.where(occ_mask > 0.5, occ_t, out)
+        return jnp.clip(out + b, 0.0, 1.0)
+
+    render_batch = jax.jit(jax.vmap(render_one))
+
+    # per-frame parameters (host side), then chunked vmapped rendering
+    rot = float(jnp.deg2rad(max_rot_deg))
+    fi_arr = np.zeros(N, np.int32)
+    p_arr = np.zeros(N, np.int32)
+    floors = []
+    Rs = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+    ts = np.zeros((N, 3), np.float32)
+    occ_masks = np.zeros((N, H, W), np.float32)
+    i = 0
+    for fi in range(F):
+        for pass_i in range(2):
+            for p in range(P):
+                fi_arr[i], p_arr[i] = fi, p
+                floors.append(floors_list[fi])
+                if pass_i == 1:
+                    ka, kt = jax.random.split(pose_keys[i])
+                    angles = jax.random.uniform(
+                        ka, (3,), minval=-rot, maxval=rot
+                    )
+                    t3 = jax.random.uniform(
+                        kt, (3,), minval=-1.0, maxval=1.0
+                    ) * jnp.asarray([max_trans, max_trans, max_trans_z])
+                    Rs[i] = np.asarray(_rotation_matrix(angles))
+                    ts[i] = np.asarray(t3)
+                    # partial occlusion: a near plane hides a patch of
+                    # the revisit view with unrelated texture
+                    ko1, ko2 = jax.random.split(occ_keys[i])
+                    if float(jax.random.uniform(ko1)) < occluder_prob:
+                        occ_masks[i] = np.asarray(
+                            _blob_mask(ko2, H, W, occluder_frac, block=64)
+                        )
+                i += 1
+    occ_texs = np.asarray(occ_tex)[np.arange(N) % len(occ_tex)]
+    frames = []
+    chunk = 32
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        sl = slice(s, e)
+        frames.append(
+            np.asarray(
+                render_batch(
+                    tex[fi_arr[sl], p_arr[sl]],
+                    masks[p_arr[sl]],
+                    jnp.asarray(Rs[sl]),
+                    jnp.asarray(ts[sl]),
+                    jnp.asarray(occ_masks[sl]),
+                    jnp.asarray(occ_texs[sl]),
+                    bright[sl],
+                )
+            )
+        )
+    images = (np.concatenate(frames) * 255.0).astype(np.uint8)
+    timestamps = np.arange(N) * frame_dt
+    floors = np.asarray(floors)
+
+    # GT: the same-floor pass-1/pass-2 observations of each place.
+    # Aliased traps: cross-floor observation pairs of the same place
+    # index (same structure, texture similarity = that place's alpha).
+    gt_pairs = set()
+    aliased = set()
+    obs_idx = lambda fi, pass_i, p: fi * 2 * P + pass_i * P + p
+    for p in range(P):
+        per_floor = [
+            (obs_idx(fi, 0, p), obs_idx(fi, 1, p)) for fi in range(F)
+        ]
+        for a, b in per_floor:
+            gt_pairs.add((a, b))
+        for fi in range(F):
+            for fj in range(fi + 1, F):
+                for a in per_floor[fi]:
+                    for b in per_floor[fj]:
+                        aliased.add((min(a, b), max(a, b)))
+    return QualityScene(
+        images, timestamps, floors, gt_pairs, aliased, np.asarray(K)
+    )
+
+
 def _pixel_encoder(imgs: jnp.ndarray) -> jnp.ndarray:
     """Deterministic downsample-and-normalize VPR encoder: a texture's
     warped revisit stays nearby in this space, so retrieval is reliable
@@ -179,6 +398,74 @@ def retrieval_recall(scene: QualityScene, encoder, top_k=5, threshold=0.5,
                 found.add((min(q, m), max(q, m)))
     hits = len(found & scene.gt_pairs)
     return hits / max(len(scene.gt_pairs), 1)
+
+
+def retrieval_metrics(
+    scene: QualityScene,
+    vpr,  # encoder fn (B,H,W)->(B,D)  OR  a CricaVPR-style instance
+    top_k: int = 16,
+    threshold: float = 0.3,
+    min_time_gap: float = 10.0,
+    rerank: bool = False,
+    rerank_pool: Optional[int] = None,
+) -> Dict:
+    """Retrieval-stage quality: GT recall@k, aliased-trap rate, GT mean
+    rank — with or without the CricaVPR cross-image-correlation rerank
+    (reference place_recognition.py:714-757: retrieve a larger pool by
+    global cosine, re-score 0.5*global + 0.5*patch-correlation, keep the
+    re-sorted top-k). `rerank=True` requires a CricaVPR-style instance
+    (patch cache + rerank_scores_all); membership threshold stays on the
+    GLOBAL cosine score (the reference thresholds pre-rerank too), so
+    the rerank's measurable effect is the ORDER of the kept candidates —
+    which pairs make the top-k cut."""
+    from mlis_tpu.ops.knn import cosine_topk
+
+    imgs = jnp.asarray(scene.images)
+    if hasattr(vpr, "encode_batch_device"):
+        if hasattr(vpr, "patch_cache"):
+            vpr.patch_cache = []
+            vpr._patch_matrix = None
+        db = vpr.encode_batch_device(imgs)
+    else:
+        db = vpr(imgs)
+        if rerank:
+            raise ValueError("rerank requires a CricaVPR-style instance")
+    N = int(db.shape[0])
+    pool = int(rerank_pool or 2 * top_k) if rerank else top_k
+    t = jnp.asarray(scene.timestamps, jnp.float32)
+    scores, idx = cosine_topk(db, db, t, t, k=min(pool, N),
+                              min_time_gap=min_time_gap)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    if rerank:
+        cc = vpr.rerank_scores_all(np.arange(N), idx)
+        w = getattr(vpr, "rerank_weight", 0.5)
+        mixed = np.where(
+            np.isfinite(scores), (1 - w) * scores + w * cc, -np.inf
+        )
+        order = np.argsort(-mixed, axis=1)[:, :top_k]
+        rows = np.arange(N)[:, None]
+        scores, idx = scores[rows, order], idx[rows, order]
+
+    found = set()
+    n_above = n_aliased = 0
+    for q in range(N):
+        for kk in range(scores.shape[1]):
+            if np.isfinite(scores[q, kk]) and scores[q, kk] >= threshold:
+                m = int(idx[q, kk])
+                pair = (min(q, m), max(q, m))
+                found.add(pair)
+                n_above += 1
+                if pair in scene.aliased_pairs:
+                    n_aliased += 1
+    hits = found & scene.gt_pairs
+    return {
+        "retrieval_recall": len(hits) / max(len(scene.gt_pairs), 1),
+        "aliased_rate": n_aliased / max(n_above, 1),
+        "candidates_above_threshold": n_above,
+        "gt_found": len(hits),
+        "rerank": bool(rerank),
+        "top_k": top_k,
+    }
 
 
 def run_gate_quality(

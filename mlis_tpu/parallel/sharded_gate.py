@@ -38,6 +38,135 @@ from mlis_tpu.ops.knn import cosine_topk
 from mlis_tpu.parallel.mesh import DATA_AXIS
 
 
+_PROGRAM_CACHE: Dict = {}
+
+
+def make_sharded_gate_program(
+    mesh: Mesh,
+    matcher,
+    encode_fn: Callable,
+    n_frames: int,
+    hw: Tuple[int, int],
+    K: np.ndarray,
+    *,
+    top_k: int,
+    threshold: float,
+    min_time_gap: float,
+    budget: int,
+    ransac_threshold: float = 3.0,
+    match_top_k: int = 0,
+) -> Callable:
+    """Build (and cache) the jitted one-dispatch sharded gate program:
+    (images, t_loc, fl_loc, t_all, fl_all) -> (qi, mi, slot_ok, n_match,
+    n_inliers, ratio, n_confident, stats, per_device_accepted).
+
+    Caching matters through the TPU tunnel: a fresh jit per call would
+    pay a fresh remote compile (~1-3 min) on every invocation — the
+    single-chip pipeline caches its mega/fused programs the same way.
+    """
+    from mlis_tpu.ops.image import to_grayscale
+
+    H, W = hw
+    h8, w8 = (H // 8) * 8, (W // 8) * 8
+    n_dev = mesh.shape[DATA_AXIS]
+    shard = n_frames // n_dev
+    kk = min(top_k, n_frames)
+    B = int(budget)
+    cache_key = (
+        id(mesh), id(matcher), id(encode_fn), n_frames, hw,
+        float(np.asarray(K)[0, 0]), kk, float(threshold),
+        float(min_time_gap), B, float(ransac_threshold), int(match_top_k),
+    )
+    if cache_key in _PROGRAM_CACHE:
+        return _PROGRAM_CACHE[cache_key]
+
+    fused = matcher.make_fused_match_verify(hw, K, ransac_threshold)
+    m_params = matcher.params
+    # initialize the detector OUTSIDE the traced program (lazy init inside
+    # shard_map would leak tracers into the param cache)
+    matcher.sp.init_params((h8, w8))
+
+    def local(imgs, t_loc, fl_loc, t_all, fl_all):
+        # encode + detect: device-local keyframe slab
+        desc_loc = encode_fn(imgs)  # (shard, D)
+        gray = to_grayscale(imgs, size=(h8, w8))
+        kp_loc = matcher.sp.detect(gray)
+        if (h8, w8) != (H, W):
+            kp_loc = kp_loc._replace(
+                coords=kp_loc.coords
+                * jnp.asarray([W / w8, H / h8], jnp.float32)
+            )
+        if match_top_k and match_top_k < kp_loc.coords.shape[1]:
+            # keypoints are detector-score-sorted, so the pruned set
+            # is a prefix slice (prefix-valid mask preserved)
+            kp_loc = jax.tree_util.tree_map(
+                lambda x: x[:, :match_top_k], kp_loc
+            )
+
+        # replicate descriptors + keypoints over ICI
+        desc_all = jax.lax.all_gather(desc_loc, DATA_AXIS, tiled=True)
+        kp_all = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, DATA_AXIS, tiled=True), kp_loc
+        )
+
+        # retrieval: local query slab vs the full database
+        scores, idx = cosine_topk(
+            desc_loc, desc_all, t_loc, t_all, k=kk,
+            min_time_gap=min_time_gap,
+        )
+        valid = jnp.isfinite(scores) & (scores >= threshold)
+        accept = valid & (fl_loc[:, None] == fl_all[idx])
+
+        # global directed statistics: one psum each
+        total = jax.lax.psum(valid.sum(), DATA_AXIS)
+        rejected = jax.lax.psum((valid & ~accept).sum(), DATA_AXIS)
+        accepted = jax.lax.psum(accept.sum(), DATA_AXIS)
+        acc_cnt = accept.sum()  # this device's accepted count
+
+        # budgeted selection: this device's top-B accepted pairs by score
+        flat = jnp.where(accept, scores, -jnp.inf).reshape(-1)
+        top_s, pos = jax.lax.top_k(flat, B)
+        slot_ok = jnp.isfinite(top_s)
+        dev = jax.lax.axis_index(DATA_AXIS)
+        qi = jnp.where(slot_ok, dev * shard + pos // kk, 0)
+        mi = jnp.where(slot_ok, idx.reshape(-1)[pos], 0)
+
+        out = fused(
+            m_params, kp_all, qi, mi, jax.random.fold_in(
+                jax.random.PRNGKey(0), dev
+            ),
+        )
+        _, _, n_match, n_inl, ratio, _, _, n_conf = out
+        return (
+            qi.astype(jnp.int32),
+            mi.astype(jnp.int32),
+            slot_ok,
+            n_match.astype(jnp.int32),
+            n_inl.astype(jnp.int32),
+            ratio,
+            n_conf.astype(jnp.int32),
+            jnp.stack([total, rejected, accepted]),
+            acc_cnt.astype(jnp.int32)[None],
+        )
+
+    prog = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            out_specs=(
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                P(),
+                P(DATA_AXIS),
+            ),
+            check_vma=False,
+        )
+    )
+    _PROGRAM_CACHE[cache_key] = prog
+    return prog
+
+
 def sharded_full_gate_step(
     mesh: Mesh,
     matcher,  # LightGlue-style: .sp.detect, .make_fused_match_verify, .params
@@ -52,6 +181,7 @@ def sharded_full_gate_step(
     per_device_budget: int = 16,
     ransac_threshold: float = 3.0,
     exact: bool = True,
+    match_top_k: int = 0,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
     """One multi-chip gate step.
 
@@ -69,22 +199,20 @@ def sharded_full_gate_step(
     accepted count — so accepted pairs are NEVER silently dropped.
     With exact=False, overflow keeps each device's top-budget pairs by
     score and reports the drop in stats['dropped'] instead of hiding it.
-    """
-    from mlis_tpu.ops.image import to_grayscale
 
+    match_top_k > 0 prunes each keyframe's keypoints to the top-K by
+    detector score BEFORE the all_gather (the single-chip pipeline's
+    detect-1024/match-512 protocol, gating/full_gate.py match_top_k) —
+    same decision contract, and the replicated keypoint table shrinks
+    proportionally (the dominant ICI all-gather term at bench shapes).
+    """
     n_dev = mesh.shape[DATA_AXIS]
     N = int(images.shape[0])
     if N % n_dev:
         raise ValueError(f"{N} keyframes do not shard over {n_dev} devices")
     shard = N // n_dev
     H, W = int(images.shape[1]), int(images.shape[2])
-    h8, w8 = (H // 8) * 8, (W // 8) * 8
     hw = (H, W)
-    fused = matcher.make_fused_match_verify(hw, K, ransac_threshold)
-    m_params = matcher.params
-    # initialize the detector OUTSIDE the traced program (lazy init inside
-    # shard_map would leak tracers into the param cache)
-    matcher.sp.init_params((h8, w8))
     kk = min(top_k, N)
     # clamp: each device's candidate pool is shard * kk entries, so a
     # larger budget would make lax.top_k fail with an opaque XLA error
@@ -92,74 +220,11 @@ def sharded_full_gate_step(
     B = min(int(per_device_budget), shard * kk)
 
     def make_local(B: int):
-        def local(imgs, t_loc, fl_loc, t_all, fl_all):
-            # encode + detect: device-local keyframe slab
-            desc_loc = encode_fn(imgs)  # (shard, D)
-            gray = to_grayscale(imgs, size=(h8, w8))
-            kp_loc = matcher.sp.detect(gray)
-            if (h8, w8) != (H, W):
-                kp_loc = kp_loc._replace(
-                    coords=kp_loc.coords
-                    * jnp.asarray([W / w8, H / h8], jnp.float32)
-                )
-
-            # replicate descriptors + keypoints over ICI
-            desc_all = jax.lax.all_gather(desc_loc, DATA_AXIS, tiled=True)
-            kp_all = jax.tree_util.tree_map(
-                lambda x: jax.lax.all_gather(x, DATA_AXIS, tiled=True), kp_loc
-            )
-
-            # retrieval: local query slab vs the full database
-            scores, idx = cosine_topk(
-                desc_loc, desc_all, t_loc, t_all, k=kk,
-                min_time_gap=min_time_gap,
-            )
-            valid = jnp.isfinite(scores) & (scores >= threshold)
-            accept = valid & (fl_loc[:, None] == fl_all[idx])
-
-            # global directed statistics: one psum each
-            total = jax.lax.psum(valid.sum(), DATA_AXIS)
-            rejected = jax.lax.psum((valid & ~accept).sum(), DATA_AXIS)
-            accepted = jax.lax.psum(accept.sum(), DATA_AXIS)
-            acc_cnt = accept.sum()  # this device's accepted count
-
-            # budgeted selection: this device's top-B accepted pairs by score
-            flat = jnp.where(accept, scores, -jnp.inf).reshape(-1)
-            top_s, pos = jax.lax.top_k(flat, B)
-            slot_ok = jnp.isfinite(top_s)
-            dev = jax.lax.axis_index(DATA_AXIS)
-            qi = jnp.where(slot_ok, dev * shard + pos // kk, 0)
-            mi = jnp.where(slot_ok, idx.reshape(-1)[pos], 0)
-
-            out = fused(
-                m_params, kp_all, qi, mi, jax.random.fold_in(
-                    jax.random.PRNGKey(0), dev
-                ),
-            )
-            _, _, n_match, n_inl, ratio, _, _, n_conf = out
-            return (
-                qi.astype(jnp.int32),
-                mi.astype(jnp.int32),
-                slot_ok,
-                n_match.astype(jnp.int32),
-                n_inl.astype(jnp.int32),
-                ratio,
-                n_conf.astype(jnp.int32),
-                jnp.stack([total, rejected, accepted]),
-                acc_cnt.astype(jnp.int32)[None],
-            )
-
-        return shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(), P()),
-            out_specs=(
-                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                P(),
-                P(DATA_AXIS),
-            ),
-            check_vma=False,
+        return make_sharded_gate_program(
+            mesh, matcher, encode_fn, N, hw, K,
+            top_k=top_k, threshold=threshold, min_time_gap=min_time_gap,
+            budget=B, ransac_threshold=ransac_threshold,
+            match_top_k=match_top_k,
         )
 
     t = jnp.asarray(np.asarray(timestamps, np.float32))
@@ -167,7 +232,7 @@ def sharded_full_gate_step(
     imgs_dev = jnp.asarray(images)
 
     def run(B: int):
-        qi, mi, ok, n_match, n_inl, ratio, n_conf, stats, dev_acc = jax.jit(
+        qi, mi, ok, n_match, n_inl, ratio, n_conf, stats, dev_acc = (
             make_local(B)
         )(imgs_dev, t, fl, t, fl)
         return (

@@ -14,6 +14,7 @@ import pytest
 
 from mlis_tpu.eval.quality import (
     make_quality_scene,
+    make_quality_scene_v2,
     retrieval_recall,
     run_gate_quality,
     score_gate_decisions,
@@ -38,6 +39,85 @@ def test_quality_scene_construction():
     # revisit gaps exceed the default min_time_gap; consecutive frames don't
     for a, b in scene.gt_pairs:
         assert abs(scene.timestamps[a] - scene.timestamps[b]) >= 10.0
+
+
+def test_quality_scene_v2_construction():
+    # small config for the CPU tier; the bench runs the full 4x32@270x360
+    scene = make_quality_scene_v2(
+        n_floors=3, n_places=4, hw=(96, 128), seed=1
+    )
+    assert scene.images.shape == (24, 96, 128)
+    assert scene.images.dtype == np.uint8
+    assert len(scene.gt_pairs) == 12  # 3 floors x 4 places
+    # aliased traps: per place, C(3,2) floor pairs x 2x2 observations
+    assert len(scene.aliased_pairs) == 4 * 3 * 4
+    for a, b in scene.gt_pairs:
+        assert scene.floors[a] == scene.floors[b]
+        assert abs(scene.timestamps[a] - scene.timestamps[b]) >= 10.0
+    for a, b in scene.aliased_pairs:
+        assert scene.floors[a] != scene.floors[b]
+    # 3 distinct floor labels, balanced
+    fl, counts = np.unique(scene.floors, return_counts=True)
+    assert len(fl) == 3 and (counts == 8).all()
+
+
+def test_quality_scene_v2_has_parallax_not_single_homography():
+    """The v2 revisit views must NOT be explainable by one homography
+    (that was v1's saturation cause): fit the best single homography
+    between the two views' layer-0 plane mapping and verify the other
+    layers' induced mappings disagree by many pixels (parallax)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlis_tpu.eval.quality import _plane_homography, _rotation_matrix
+
+    H, W = 270, 360
+    f = 200.0
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(K)
+    R = _rotation_matrix(jnp.deg2rad(jnp.asarray([2.0, -3.0, 1.5])))
+    # pure lateral translation at the scene's max_trans: disparity
+    # between depth layers is exactly f*tx*(1/d_near - 1/d_far) = 15 px
+    t = jnp.asarray([0.45, 0.0, 0.0])
+    pt = jnp.asarray([W * 0.75, H * 0.25, 1.0])
+    mapped = []
+    for d in (4.0, 7.0, 12.0):
+        Hm = _plane_homography(K, Kinv, R, t, d)
+        q = Hm @ pt
+        mapped.append(np.asarray(q[:2] / q[2]))
+    expected = f * 0.45 * (1 / 4.0 - 1 / 12.0)  # 15 px
+    assert abs(np.linalg.norm(mapped[0] - mapped[2]) - expected) < 1.0
+    # and scale change: the z-translation changes pairwise pixel distances
+    Hm = _plane_homography(K, Kinv, jnp.eye(3), jnp.asarray([0, 0, 1.0]), 4.0)
+    a = Hm @ jnp.asarray([100.0, 100.0, 1.0])
+    b = Hm @ jnp.asarray([200.0, 100.0, 1.0])
+    a, b = np.asarray(a[:2] / a[2]), np.asarray(b[:2] / b[2])
+    # X1 = X0 + t with t_z=+1: depth 4 -> 5 in the new frame, scale 4/5
+    # (the scene draws t_z in +-1.2, i.e. scale changes of 0.77-1.43x)
+    assert abs(np.linalg.norm(a - b) / 100.0 - 4.0 / 5.0) < 0.02
+
+
+def test_quality_scene_v2_alias_similarity_varies():
+    """Aliasing traps occur at VARYING similarity: alpha=1.0 places are
+    near-identical cross-floor, alpha<1 places less so."""
+    scene = make_quality_scene_v2(
+        n_floors=2, n_places=6, hw=(96, 128),
+        alias_strengths=(1.0, 0.7), occluder_prob=0.0, seed=0,
+    )
+
+    def corr(a, b):
+        a = a.astype(np.float32).ravel() - a.mean()
+        b = b.astype(np.float32).ravel() - b.mean()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+
+    P = 6
+    # pass-1 canonical views of place p on the two floors
+    strong = [corr(scene.images[p], scene.images[2 * P * 1 + p])
+              for p in range(0, P, 2)]  # alpha 1.0 places
+    weak = [corr(scene.images[p], scene.images[2 * P * 1 + p])
+            for p in range(1, P, 2)]  # alpha 0.7 places
+    assert min(strong) > max(weak), (strong, weak)
+    assert np.mean(strong) > 0.9  # near-identical -> retrieval WILL bite
 
 
 @pytest.mark.skipif(not os.path.exists(CKPT), reason="no shipped checkpoint")
