@@ -15,6 +15,10 @@ Modes (MLIS_BENCH_MODE env):
         the measured reference scipy-KDTree throughput on this host.
   quality — gate DECISION quality (loop-closure P/R/F1) on the synthetic
         GT scene, trained vs random vs ORB (eval/quality.py).
+  quality2 — decision quality on the v2 GT scene (parallax, occlusion,
+        scale change, 4 floors x 32 places; the round-4 rebuild of the
+        saturated v1): per-family F1 over seeds, per-encoder retrieval
+        metrics, CricaVPR rerank A/B.
   pgo — trajectory-level gate value: on-chip pose-graph optimization,
         gated vs ungated vs odometry-only ATE (opt/demo.py).
   matchers — per-family matcher throughput (LightGlue / SuperGlue /
@@ -390,6 +394,112 @@ def bench_quality() -> dict:
             if superglue is not None
             else {}
         ),
+    }
+
+
+def bench_quality_v2() -> dict:
+    """Gate decision quality on the v2 GT scene (parallax + occlusion +
+    scale change + varying-similarity aliasing; eval/quality.
+    make_quality_scene_v2 — the round-4 rebuild of the saturated v1
+    benchmark). Rows: per-matcher-family mean F1 over MLIS_QUALITY_SEEDS
+    (default 3 seeds; the committed scoreboard sweeps 8), retrieval
+    metrics per encoder, CricaVPR rerank on/off, and the no-floor-gate
+    ablation. The v1 scene stays available as the regression anchor
+    under MLIS_BENCH_MODE=quality."""
+    from mlis_tpu.eval.quality import (
+        make_quality_scene_v2,
+        retrieval_metrics,
+        run_gate_quality,
+    )
+    from mlis_tpu.models.weights import (
+        default_loftr_checkpoint,
+        default_superglue_checkpoint,
+    )
+
+    seeds = [
+        int(s)
+        for s in os.environ.get("MLIS_QUALITY_SEEDS", "0,1,2").split(",")
+    ]
+    top_k, thr = 16, 0.30  # the v2 retrieval protocol (BENCH_NOTES r4)
+    families = ["trained", "orb"]
+    if default_superglue_checkpoint():
+        families.insert(1, "superglue")
+    if default_loftr_checkpoint():
+        families.append("loftr")
+
+    rows: dict = {}
+    scenes = {}
+    for seed in seeds:
+        scenes[seed] = make_quality_scene_v2(seed=seed)
+    for fam in families:
+        f1s, precs, recs = [], [], []
+        for seed in seeds:
+            out = run_gate_quality(
+                fam, scene=scenes[seed], encoder="trained_vpr_v2",
+                top_k=top_k, similarity_threshold=thr, verify_batch=256,
+            )
+            f1s.append(out["f1"])
+            precs.append(out["precision"])
+            recs.append(out["recall"])
+            print(
+                f"[quality2] {fam} seed {seed}: f1={out['f1']:.3f} "
+                f"p={out['precision']:.3f} r={out['recall']:.3f} "
+                f"rr={out['retrieval_recall']:.3f} ({out['weights']})",
+                file=sys.stderr, flush=True,
+            )
+        rows[f"f1_{fam}"] = round(float(np.mean(f1s)), 3)
+        rows[f"f1_{fam}_min"] = round(float(np.min(f1s)), 3)
+        rows[f"precision_{fam}"] = round(float(np.mean(precs)), 3)
+        rows[f"recall_{fam}"] = round(float(np.mean(recs)), 3)
+
+    # ablation: floor gate off on seed 0 (aliased traps verify)
+    no_gate = run_gate_quality(
+        "trained", scene=scenes[seeds[0]], encoder="trained_vpr_v2",
+        top_k=top_k, similarity_threshold=thr, verify_batch=256,
+        floor_gate=False,
+    )
+    rows["f1_no_floor_gate"] = round(no_gate["f1"], 3)
+    rows["precision_no_floor_gate"] = round(no_gate["precision"], 3)
+
+    # retrieval-stage metrics per encoder (+ CricaVPR rerank A/B)
+    from mlis_tpu.eval.quality import _pixel_encoder
+    from mlis_tpu.train.pretrain_vpr import load_crica_vpr, load_encoder
+
+    sc0 = scenes[seeds[0]]
+    encs = {"pixel": _pixel_encoder}
+    e_v2 = load_encoder("checkpoints/vpr_tiny_v2.npz")
+    if e_v2 is not None:
+        encs["trained_vpr_v2"] = e_v2
+    e_v1 = load_encoder()
+    if e_v1 is not None:
+        encs["trained_vpr"] = e_v1
+    for name, e in encs.items():
+        m = retrieval_metrics(sc0, e, top_k=top_k, threshold=thr)
+        rows[f"rr_{name}"] = round(m["retrieval_recall"], 3)
+    crica = load_crica_vpr()
+    if crica is not None:
+        m_off = retrieval_metrics(
+            sc0, crica, top_k=top_k, threshold=thr, rerank=False
+        )
+        m_on = retrieval_metrics(
+            sc0, crica, top_k=top_k, threshold=thr, rerank=True
+        )
+        rows["rr_cricavpr"] = round(m_off["retrieval_recall"], 3)
+        rows["rr_cricavpr_rerank"] = round(m_on["retrieval_recall"], 3)
+        rows["aliased_rate_cricavpr"] = round(m_off["aliased_rate"], 3)
+        rows["aliased_rate_cricavpr_rerank"] = round(m_on["aliased_rate"], 3)
+
+    headline = rows.get("f1_trained", 0.0)
+    return {
+        "metric": "gate_decision_f1_v2_scene",
+        "value": headline,
+        "unit": "f1",
+        "vs_baseline": headline,
+        "seeds": seeds,
+        "scene": "v2_parallax_4x32",
+        "top_k": top_k,
+        "threshold": thr,
+        **rows,
     }
 
 
@@ -781,6 +891,8 @@ def main():
         out = bench_full_gate(fullres=True)
     elif mode == "quality":
         out = bench_quality()
+    elif mode == "quality2":
+        out = bench_quality_v2()
     elif mode == "pgo":
         out = bench_pgo()
     elif mode == "stream":

@@ -257,43 +257,55 @@ def make_quality_scene_v2(
             # borders that left the view — same border semantics as v1
             out = jnp.where(m_l > 0.5, img_l, out)
         out = jnp.where(occ_mask > 0.5, occ_t, out)
-        return jnp.clip(out + b, 0.0, 1.0)
+        out = jnp.clip(out + b, 0.0, 1.0)
+        # uint8 on device: the host fetch is 4x smaller through the
+        # 6 MB/s tunnel download
+        return (out * 255.0).astype(jnp.uint8)
 
     render_batch = jax.jit(jax.vmap(render_one))
 
-    # per-frame parameters (host side), then chunked vmapped rendering
+    # per-frame parameters, all sampled as BATCHED device ops (per-frame
+    # host syncs would cost one tunnel RTT each — minutes per scene on
+    # the remote chip); pass-1 frames are canonical (pose zeroed)
     rot = float(jnp.deg2rad(max_rot_deg))
     fi_arr = np.zeros(N, np.int32)
     p_arr = np.zeros(N, np.int32)
+    is_pass2 = np.zeros(N, np.float32)
     floors = []
-    Rs = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
-    ts = np.zeros((N, 3), np.float32)
-    occ_masks = np.zeros((N, H, W), np.float32)
     i = 0
     for fi in range(F):
         for pass_i in range(2):
             for p in range(P):
                 fi_arr[i], p_arr[i] = fi, p
+                is_pass2[i] = float(pass_i == 1)
                 floors.append(floors_list[fi])
-                if pass_i == 1:
-                    ka, kt = jax.random.split(pose_keys[i])
-                    angles = jax.random.uniform(
-                        ka, (3,), minval=-rot, maxval=rot
-                    )
-                    t3 = jax.random.uniform(
-                        kt, (3,), minval=-1.0, maxval=1.0
-                    ) * jnp.asarray([max_trans, max_trans, max_trans_z])
-                    Rs[i] = np.asarray(_rotation_matrix(angles))
-                    ts[i] = np.asarray(t3)
-                    # partial occlusion: a near plane hides a patch of
-                    # the revisit view with unrelated texture
-                    ko1, ko2 = jax.random.split(occ_keys[i])
-                    if float(jax.random.uniform(ko1)) < occluder_prob:
-                        occ_masks[i] = np.asarray(
-                            _blob_mask(ko2, H, W, occluder_frac, block=64)
-                        )
                 i += 1
-    occ_texs = np.asarray(occ_tex)[np.arange(N) % len(occ_tex)]
+    p2 = jnp.asarray(is_pass2)
+    k_ang, k_tr, k_od = (
+        pose_keys[0],
+        pose_keys[min(1, len(pose_keys) - 1)],
+        occ_keys[0],
+    )
+    angles = (
+        jax.random.uniform(k_ang, (N, 3), minval=-rot, maxval=rot)
+        * p2[:, None]
+    )
+    ts = (
+        jax.random.uniform(k_tr, (N, 3), minval=-1.0, maxval=1.0)
+        * jnp.asarray([max_trans, max_trans, max_trans_z])
+        * p2[:, None]
+    )
+    Rs = jax.vmap(_rotation_matrix)(angles)
+    occ_apply = (
+        (jax.random.uniform(k_od, (N,)) < occluder_prob) & (p2 > 0)
+    ).astype(jnp.float32)
+    occ_masks = (
+        jax.vmap(lambda k: _blob_mask(k, H, W, occluder_frac, block=64))(
+            occ_keys
+        )
+        * occ_apply[:, None, None]
+    )
+    occ_texs = occ_tex[jnp.mod(jnp.arange(N), occ_tex.shape[0])]
     frames = []
     chunk = 32
     for s in range(0, N, chunk):
@@ -304,15 +316,15 @@ def make_quality_scene_v2(
                 render_batch(
                     tex[fi_arr[sl], p_arr[sl]],
                     masks[p_arr[sl]],
-                    jnp.asarray(Rs[sl]),
-                    jnp.asarray(ts[sl]),
-                    jnp.asarray(occ_masks[sl]),
-                    jnp.asarray(occ_texs[sl]),
+                    Rs[sl],
+                    ts[sl],
+                    occ_masks[sl],
+                    occ_texs[sl],
                     bright[sl],
                 )
             )
         )
-    images = (np.concatenate(frames) * 255.0).astype(np.uint8)
+    images = np.concatenate(frames)
     timestamps = np.arange(N) * frame_dt
     floors = np.asarray(floors)
 
@@ -597,18 +609,41 @@ def run_gate_quality(
             matcher=lg, min_confident_matches=min_confident_matches
         )
 
-    if encoder == "trained_vpr":
+    if encoder in ("trained_vpr", "trained_vpr_v2"):
         # in-env warp-invariance-pretrained tiny ViT (train/pretrain_vpr):
         # lifts the pixel encoder's ~0.875 retrieval-recall ceiling on
         # strongly warped revisits; falls back to pixel when the
-        # checkpoint isn't shipped
+        # checkpoint isn't shipped. 'trained_vpr_v2' prefers the
+        # PARALLAX-trained checkpoint (pretrain_vpr --parallax, for the
+        # v2 GT scene) and falls back to the homography-trained one.
         from mlis_tpu.train.pretrain_vpr import load_encoder
 
-        enc = load_encoder()
+        enc = None
+        if encoder == "trained_vpr_v2":
+            enc = load_encoder("checkpoints/vpr_tiny_v2.npz")
+            if enc is None:
+                encoder = "trained_vpr"  # fall back + report honestly
+        if enc is None:
+            enc = load_encoder()
         if enc is None:
             encoder = "pixel"
+    elif encoder == "cricavpr_trained":
+        # the FULL-architecture CricaVPR-GeM (ViT-B/14 @ 322^2) with the
+        # in-env-trained backbone (pretrain_vpr --arch cricavpr); random
+        # init when the checkpoint hasn't shipped (reported in 'encoder')
+        from mlis_tpu.models.cricavpr import CricaVPR
+        from mlis_tpu.train.pretrain_vpr import load_crica_vpr
 
-    if encoder in ("pixel", "trained_vpr"):
+        crica = load_crica_vpr()
+        if crica is None:
+            crica = CricaVPR()
+            encoder = "cricavpr_random"
+        enc = crica.encode_batch_device
+
+    if encoder in (
+        "pixel", "trained_vpr", "trained_vpr_v2",
+        "cricavpr_trained", "cricavpr_random",
+    ):
         enc_fn = _pixel_encoder if encoder == "pixel" else enc
         spr = SimpleNamespace(
             vpr=SimpleNamespace(encode_batch_device=enc_fn)

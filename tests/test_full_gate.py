@@ -332,6 +332,67 @@ def test_full_gate_monolithic_matches_two_phase(rng):
         assert over.verified == two_phase.verified
 
 
+def test_pipelined_matches_mega(rng):
+    """The PIPELINED mega path (per-chunk detect+encode dispatches that
+    overlap the tunnel upload + one gate/verify tail) must match the
+    one-dispatch mega program (device-resident images) decision-for-
+    decision — chunked batching of the per-frame detect/encode must not
+    change any verdict."""
+    import jax
+
+    from mlis_tpu.models.mixvpr import MixVPR
+    from mlis_tpu.models.resnet import ResNetConfig
+
+    n = 12
+    images = _scene_images(rng, n)
+    times = np.arange(n) * 30.0
+    floors = np.asarray([5] * 6 + [2] * 6)
+
+    def build():
+        enc = MixVPR(
+            descriptor_dim=32,
+            backbone_cfg=ResNetConfig.tiny_test(),
+            input_size=(64, 64),
+        )
+        spr = SemanticPlaceRecognition(
+            vpr_method=enc, similarity_threshold=0.8, min_time_gap=10.0
+        )
+        lg = LightGlue(
+            sp_cfg=SuperPointConfig.tiny_test(max_keypoints=64),
+            matcher_cfg=MatcherConfig.tiny_test(),
+        )
+        return FullGatePipeline(
+            vpr=spr,
+            verifier=GeometricVerifier(matcher=lg),
+            similarity_threshold=0.8,
+            verify_batch=64,
+        )
+
+    base = build().process(images, times, floors, K_CAM)
+    budget = max(base.verified, 1)
+
+    pipe = build()
+    dev = pipe.process(
+        jax.device_put(images), times, floors, K_CAM,
+        survivor_budget=budget, monolithic=True,
+    )
+    # 3 chunks of 4 frames through the pipelined path, same pipeline
+    # instance (shared weights) so the comparison isolates the chunking
+    pipe.spr.vpr.descriptors = []
+    pipe.spr.vpr._matrix_cache = None
+    piped = pipe.process(
+        images, times, floors, K_CAM,
+        survivor_budget=budget, monolithic=True, upload_chunk=4,
+    )
+    assert piped.total_pairs == dev.total_pairs == base.total_pairs
+    assert piped.verified == dev.verified
+    a = {(r.query_idx, r.match_idx): (r.num_matches, r.num_inliers)
+         for r in piped.results}
+    b = {(r.query_idx, r.match_idx): (r.num_matches, r.num_inliers)
+         for r in dev.results}
+    assert a == b
+
+
 def test_budget_slots_quarter_octave():
     """Survivor budgets round up to {5,6,7,8}*2^k slot counts: tighter
     than power-of-2 padding (an 814-survivor gate pays 896 slots, not

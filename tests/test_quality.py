@@ -120,6 +120,45 @@ def test_quality_scene_v2_alias_similarity_varies():
     assert np.mean(strong) > 0.9  # near-identical -> retrieval WILL bite
 
 
+def test_gate_runs_on_v2_scene_small():
+    """End-to-end gate on a reduced v2 scene: decisions flow, the floor
+    gate rejects the aliased traps, scoring fields are consistent. The
+    weight-free ORB family keeps the CPU tier checkpoint-independent;
+    the full 4x32 scoreboard runs on the chip (MLIS_BENCH_MODE=quality2)."""
+    scene = make_quality_scene_v2(
+        n_floors=2, n_places=4, hw=(135, 180), seed=0
+    )
+    out = run_gate_quality(
+        "orb", scene=scene, max_keypoints=256,
+        top_k=8, similarity_threshold=0.3,
+    )
+    assert out["n_frames"] == 16 and out["gt_pairs"] == 8
+    assert out["gating_effectiveness"] == 1.0  # all traps rejected
+    assert out["total_candidates"] > 0
+    assert 0.0 <= out["f1"] <= 1.0
+    # every accepted decision is a geometrically-valid verified pair
+    assert (
+        out["true_positives"] + out["false_positives"]
+        == out["geometrically_valid"]
+    )
+
+
+def test_retrieval_metrics_rerank_contract():
+    """retrieval_metrics: plain-encoder path, and the rerank path's
+    requirement for a patch-cache instance."""
+    from mlis_tpu.eval.quality import _pixel_encoder, retrieval_metrics
+
+    scene = make_quality_scene_v2(
+        n_floors=2, n_places=4, hw=(96, 128), seed=0
+    )
+    m = retrieval_metrics(scene, _pixel_encoder, top_k=6, threshold=0.0)
+    assert 0.0 <= m["retrieval_recall"] <= 1.0
+    assert 0.0 <= m["aliased_rate"] <= 1.0
+    assert m["candidates_above_threshold"] > 0
+    with pytest.raises(ValueError, match="rerank"):
+        retrieval_metrics(scene, _pixel_encoder, rerank=True)
+
+
 @pytest.mark.skipif(not os.path.exists(CKPT), reason="no shipped checkpoint")
 def test_gate_decisions_trained_vs_random():
     scene = make_quality_scene(n_places=4)
