@@ -271,6 +271,8 @@ def load_encoder(path: Optional[str] = None, seed: int = 0,
     root = Path(__file__).resolve().parents[2]
     default = CRICA_CKPT if arch == "cricavpr" else DEFAULT_CKPT
     p = Path(path) if path else root / default
+    if not p.exists() and path and not Path(path).is_absolute():
+        p = root / path  # relative paths resolve against the repo root
     if not p.exists():
         return None
     model, params = _build_model(seed, arch=arch)
@@ -337,6 +339,9 @@ def main(argv=None) -> dict:
                     help="train on layered-scene SE(3) parallax views "
                     "(the v2 GT scene's corruption family) instead of "
                     "single homographies")
+    ap.add_argument("--init-from",
+                    help="warm-start the encoder from a prior npz "
+                    "checkpoint (same arch)")
     ap.add_argument("--tiny", action="store_true",
                     help="few steps + small textures (CPU smoke test)")
     args = ap.parse_args(argv)
@@ -356,6 +361,14 @@ def main(argv=None) -> dict:
     log_path = out.with_name(out.stem + "_log.json")
 
     model, params = _build_model(args.seed, arch=args.arch)
+    if args.init_from:
+        from mlis_tpu.models.convert import _match_dtypes
+        from mlis_tpu.models.weights import load_params_npz
+
+        params = jax.device_put(
+            _match_dtypes(load_params_npz(args.init_from)["vpr"], params)
+        )
+        print(f"warm-started from {args.init_from}", flush=True)
     apply_fn = _make_apply(
         model,
         CRICA_HW if args.arch == "cricavpr" else ENC_HW,
