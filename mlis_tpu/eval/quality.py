@@ -480,6 +480,99 @@ def retrieval_metrics(
     }
 
 
+def build_verifier(
+    matcher: str,
+    max_keypoints: int,
+    hw: Tuple[int, int],
+    weights_path: Optional[str] = None,
+    min_confident_matches: int = 6,
+):
+    """Construct the GeometricVerifier for a matcher family, loading the
+    shipped in-env-trained checkpoint when available. Returns
+    (verifier, weights_label). Shared by run_gate_quality and the
+    rerank end-to-end runner."""
+    import os
+
+    from mlis_tpu.gating.verification import GeometricVerifier
+    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+    from mlis_tpu.models.superpoint import SuperPointConfig
+
+    if matcher == "orb":
+        return GeometricVerifier(matcher_type="orb"), "orb_weight_free"
+    if matcher == "loftr":
+        # dense detector-free family (reference: kornia LoFTR,
+        # geometric_verification.py:469-526); loads the in-env-trained
+        # checkpoint when shipped, else reports random_init
+        from mlis_tpu.models.loftr import LoFTR
+        from mlis_tpu.models.weights import default_loftr_checkpoint
+
+        lf = LoFTR()
+        weights = "random_init"
+        path = weights_path or default_loftr_checkpoint()
+        if path and os.path.exists(path):
+            lf.load_weights(path, image_hw=hw)
+            weights = os.path.basename(path)
+        return GeometricVerifier(matcher=lf), weights
+    if matcher == "superglue":
+        # Sinkhorn-dustbin head family (reference README.md:41-45 row);
+        # loads the in-env-trained checkpoint when shipped
+        from mlis_tpu.models.lightglue import SuperGlue
+        from mlis_tpu.models.weights import default_superglue_checkpoint
+
+        sg = SuperGlue(sp_cfg=SuperPointConfig(max_keypoints=max_keypoints))
+        weights = "random_init"
+        path = weights_path or default_superglue_checkpoint()
+        if path and os.path.exists(path):
+            sg.load_weights(path, image_hw=hw)
+            weights = os.path.basename(path)
+        return GeometricVerifier(matcher=sg), weights
+
+    weights = "random_init"
+    path = None
+    if matcher == "trained":
+        from mlis_tpu.models.weights import (
+            default_fullres_matcher_checkpoint,
+            default_matcher_checkpoint,
+        )
+
+        # at fullres, prefer the 540x720-trained checkpoint (mean GT
+        # F1 0.955 over seeds 0-5 vs 0.794 for the half-res-trained one
+        # — BENCH_NOTES "Fullres-trained matcher")
+        default = (
+            default_fullres_matcher_checkpoint()
+            if hw[0] >= 540
+            else default_matcher_checkpoint()
+        )
+        path = weights_path or default
+        if not (path and os.path.exists(path)):
+            path = None
+    cfg_kw = {}
+    if path:
+        # checkpoints are self-describing (depth/dim inferred from the
+        # npz) so depth-pruned variants A/B through the same runner
+        from mlis_tpu.models.weights import matcher_arch_from_npz
+
+        cfg_kw = matcher_arch_from_npz(path)
+    lg = LightGlue(
+        sp_cfg=SuperPointConfig(max_keypoints=max_keypoints),
+        matcher_cfg=MatcherConfig.lightglue(**cfg_kw),
+    )
+    if path:
+        lg.load_weights(path, image_hw=hw)
+        weights = os.path.basename(path)
+    # confident-match cut: repeated-structure false pairs RANSAC-pass
+    # with 20-28 inliers but carry <= 5 confident matches (true loop
+    # closures: typically 10-70) — see GeometricVerifier docstring.
+    # thr 6 measured precision 1.0 on ALL of seeds 0-7 (incl. 5
+    # held-out) while keeping more recall than 8 (BENCH_NOTES.md)
+    return (
+        GeometricVerifier(
+            matcher=lg, min_confident_matches=min_confident_matches
+        ),
+        weights,
+    )
+
+
 def run_gate_quality(
     matcher: str = "trained",  # 'trained' | 'random' | 'orb' | 'loftr'
     #                            | 'superglue'
@@ -524,90 +617,11 @@ def run_gate_quality(
     from types import SimpleNamespace
 
     from mlis_tpu.gating.full_gate import FullGatePipeline
-    from mlis_tpu.gating.verification import GeometricVerifier
-    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
-    from mlis_tpu.models.superpoint import SuperPointConfig
 
     scene = scene or make_quality_scene(n_places=n_places, hw=hw, seed=seed)
-
-    if matcher == "orb":
-        verifier = GeometricVerifier(matcher_type="orb")
-        weights = "orb_weight_free"
-    elif matcher == "loftr":
-        # dense detector-free family (reference: kornia LoFTR,
-        # geometric_verification.py:469-526); loads the in-env-trained
-        # checkpoint when shipped, else reports random_init
-        import os
-
-        from mlis_tpu.models.loftr import LoFTR
-        from mlis_tpu.models.weights import default_loftr_checkpoint
-
-        lf = LoFTR()
-        weights = "random_init"
-        path = weights_path or default_loftr_checkpoint()
-        if path and os.path.exists(path):
-            lf.load_weights(path, image_hw=hw)
-            weights = os.path.basename(path)
-        verifier = GeometricVerifier(matcher=lf)
-    elif matcher == "superglue":
-        # Sinkhorn-dustbin head family (reference README.md:41-45 row);
-        # loads the in-env-trained checkpoint when shipped
-        import os
-
-        from mlis_tpu.models.lightglue import SuperGlue
-        from mlis_tpu.models.weights import default_superglue_checkpoint
-
-        sg = SuperGlue(sp_cfg=SuperPointConfig(max_keypoints=max_keypoints))
-        weights = "random_init"
-        path = weights_path or default_superglue_checkpoint()
-        if path and os.path.exists(path):
-            sg.load_weights(path, image_hw=hw)
-            weights = os.path.basename(path)
-        verifier = GeometricVerifier(matcher=sg)
-    else:
-        weights = "random_init"
-        path = None
-        if matcher == "trained":
-            import os
-
-            from mlis_tpu.models.weights import (
-                default_fullres_matcher_checkpoint,
-                default_matcher_checkpoint,
-            )
-
-            # at fullres, prefer the 540x720-trained checkpoint (mean GT
-            # F1 0.93 vs 0.75 for the half-res-trained one — BENCH_NOTES
-            # "Fullres-trained matcher")
-            default = (
-                default_fullres_matcher_checkpoint()
-                if hw[0] >= 540
-                else default_matcher_checkpoint()
-            )
-            path = weights_path or default
-            if not (path and os.path.exists(path)):
-                path = None
-        cfg_kw = {}
-        if path:
-            # checkpoints are self-describing (depth/dim inferred from the
-            # npz) so depth-pruned variants A/B through the same runner
-            from mlis_tpu.models.weights import matcher_arch_from_npz
-
-            cfg_kw = matcher_arch_from_npz(path)
-        lg = LightGlue(
-            sp_cfg=SuperPointConfig(max_keypoints=max_keypoints),
-            matcher_cfg=MatcherConfig.lightglue(**cfg_kw),
-        )
-        if path:
-            lg.load_weights(path, image_hw=hw)
-            weights = os.path.basename(path)
-        # confident-match cut: repeated-structure false pairs RANSAC-pass
-        # with 20-28 inliers but carry <= 5 confident matches (true loop
-        # closures: typically 10-70) — see GeometricVerifier docstring.
-        # thr 6 measured precision 1.0 on ALL of seeds 0-7 (incl. 5
-        # held-out) while keeping more recall than 8 (BENCH_NOTES.md)
-        verifier = GeometricVerifier(
-            matcher=lg, min_confident_matches=min_confident_matches
-        )
+    verifier, weights = build_verifier(
+        matcher, max_keypoints, hw, weights_path, min_confident_matches
+    )
 
     if encoder in ("trained_vpr", "trained_vpr_v2"):
         # in-env warp-invariance-pretrained tiny ViT (train/pretrain_vpr):
@@ -708,4 +722,137 @@ def run_gate_quality(
         "verified": res.verified,
         "geometrically_valid": res.geometrically_valid,
         "elapsed_s": res.elapsed_s,
+    }
+
+
+def run_gate_quality_rerank(
+    scene: QualityScene,
+    rerank: bool = True,
+    matcher: str = "trained",
+    top_k: int = 16,
+    similarity_threshold: float = 0.3,
+    rerank_pool: Optional[int] = None,
+    max_keypoints: int = 512,
+    min_time_gap: float = 10.0,
+    min_confident_matches: int = 6,
+    weights_path: Optional[str] = None,
+    crica=None,
+) -> Dict:
+    """END-TO-END decisions with the CricaVPR rerank in the retrieval
+    stage (reference place_recognition.py:714-757): cosine top-pool ->
+    0.5*global + 0.5*patch-correlation re-sort -> top-k -> threshold ->
+    floor gate -> fused match+RANSAC verification -> scored against GT.
+    rerank=False runs the identical flow without the re-sort, so the
+    returned F1 delta isolates the rerank's end-decision value
+    (round-3 verdict Missing #3: the rerank had never been scored).
+
+    `crica` lets the caller reuse one encoder instance (and its patch
+    cache) across the A/B pair.
+    """
+    from types import SimpleNamespace
+
+    from mlis_tpu.gating.full_gate import FullGatePipeline
+    from mlis_tpu.gating.gate import gate_mask
+    from mlis_tpu.ops.knn import cosine_topk
+
+    if crica is None:
+        from mlis_tpu.models.cricavpr import CricaVPR
+        from mlis_tpu.train.pretrain_vpr import load_crica_vpr
+
+        crica = load_crica_vpr()
+        encoder_name = "cricavpr_trained"
+        if crica is None:
+            crica = CricaVPR()
+            encoder_name = "cricavpr_random"
+    else:
+        encoder_name = "cricavpr_provided"
+
+    imgs = jnp.asarray(scene.images)
+    crica.patch_cache = []
+    crica._patch_matrix = None
+    db = crica.encode_batch_device(imgs)
+    N = int(db.shape[0])
+    pool = int(rerank_pool or 2 * top_k) if rerank else top_k
+    t = jnp.asarray(scene.timestamps, jnp.float32)
+    scores, idx = cosine_topk(
+        db, db, t, t, k=min(pool, N), min_time_gap=min_time_gap
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    if rerank:
+        cc = crica.rerank_scores_all(np.arange(N), idx)
+        w = getattr(crica, "rerank_weight", 0.5)
+        mixed = np.where(
+            np.isfinite(scores), (1 - w) * scores + w * cc, -np.inf
+        )
+        order = np.argsort(-mixed, axis=1)[:, :top_k]
+        rows = np.arange(N)[:, None]
+        scores, idx = scores[rows, order], idx[rows, order]
+
+    qi, kk = np.nonzero(
+        np.isfinite(scores) & (scores >= similarity_threshold)
+    )
+    mj = idx[qi, kk]
+    lo, hi = np.minimum(qi, mj), np.maximum(qi, mj)
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    total = len(pairs)
+    fl = np.asarray(scene.floors)
+    if total:
+        accept = np.asarray(
+            gate_mask(
+                jnp.asarray(fl),
+                jnp.asarray(pairs[:, 0]),
+                jnp.asarray(pairs[:, 1]),
+                True,
+            )
+        )
+        survivors = pairs[accept]
+        rejected = int((~accept).sum())
+    else:
+        survivors = pairs
+        rejected = 0
+
+    verifier, weights = build_verifier(
+        matcher, max_keypoints, (int(imgs.shape[1]), int(imgs.shape[2])),
+        weights_path, min_confident_matches,
+    )
+    pipe = FullGatePipeline(
+        vpr=SimpleNamespace(vpr=SimpleNamespace(encode_batch_device=None)),
+        verifier=verifier,
+        verify_batch=64,
+    )
+    if not len(survivors):
+        results = []
+    elif hasattr(verifier.matcher, "make_fused_match_verify"):
+        results = pipe._verify_detect_once(
+            verifier.matcher, imgs, survivors, scene.K
+        )
+    else:
+        from mlis_tpu.ops.image import to_grayscale
+
+        gray = np.asarray(to_grayscale(imgs))
+        results = verifier.verify_pairs_batch(
+            gray[survivors[:, 0]], gray[survivors[:, 1]], scene.K,
+            indices=[(int(a), int(b)) for a, b in survivors],
+        )
+    res = SimpleNamespace(
+        results=results,
+        total_pairs=total,
+        cross_floor_rejected=rejected,
+        verified=len(results),
+    )
+    m = score_gate_decisions(res, scene)
+    return {
+        "matcher": matcher,
+        "weights": weights,
+        "encoder": encoder_name,
+        "rerank": bool(rerank),
+        "precision": m.precision,
+        "recall": m.recall,
+        "f1": m.f1_score,
+        "gating_effectiveness": m.gating_effectiveness,
+        "total_candidates": total,
+        "cross_floor_rejected": rejected,
+        "verified": len(results),
+        "true_positives": m.true_positives,
+        "false_positives": m.false_positives,
     }
