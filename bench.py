@@ -478,6 +478,8 @@ def bench_quality_v2() -> dict:
         rows[f"rr_{name}"] = round(m["retrieval_recall"], 3)
     crica = load_crica_vpr()
     if crica is not None:
+        from mlis_tpu.eval.quality import run_gate_quality_rerank
+
         m_off = retrieval_metrics(
             sc0, crica, top_k=top_k, threshold=thr, rerank=False
         )
@@ -488,6 +490,17 @@ def bench_quality_v2() -> dict:
         rows["rr_cricavpr_rerank"] = round(m_on["retrieval_recall"], 3)
         rows["aliased_rate_cricavpr"] = round(m_off["aliased_rate"], 3)
         rows["aliased_rate_cricavpr_rerank"] = round(m_on["aliased_rate"], 3)
+        # END-decision value of the rerank (round-3 verdict Missing #3)
+        eb_off = run_gate_quality_rerank(
+            sc0, rerank=False, crica=crica, top_k=top_k,
+            similarity_threshold=thr,
+        )
+        eb_on = run_gate_quality_rerank(
+            sc0, rerank=True, crica=crica, top_k=top_k,
+            similarity_threshold=thr,
+        )
+        rows["f1_crica_rerank_off"] = round(eb_off["f1"], 3)
+        rows["f1_crica_rerank_on"] = round(eb_on["f1"], 3)
 
     headline = rows.get("f1_trained", 0.0)
     return {
