@@ -92,3 +92,50 @@ def test_quality_mode_falls_back_to_pixel_without_checkpoint(monkeypatch):
         verify_batch=8,
     )
     assert out["encoder"] == "pixel"
+
+
+CKPT_V2 = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints", "vpr_tiny_v2.npz"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(CKPT_V2), reason="parallax VPR checkpoint not present"
+)
+def test_parallax_encoder_meets_milestones():
+    """checkpoints/vpr_tiny_v2.npz (pretrain_vpr --parallax): trained on
+    layered-scene SE(3) views — the v2 GT scene's corruption family.
+    Chip-measured at save time: heldout parallax recall@1 0.64; v2-scene
+    retrieval recall 0.82 at top-16/thr-0.30 vs 0.61 for the
+    homography-trained v1 encoder and 0.55 for the pixel encoder.
+    Milestones leave margin for CPU numerics."""
+    from mlis_tpu.eval.quality import (
+        make_quality_scene_v2,
+        retrieval_metrics,
+        _pixel_encoder,
+    )
+    from mlis_tpu.train.pretrain_vpr import heldout_recall, load_encoder
+    from mlis_tpu.models.convert import _match_dtypes
+    from mlis_tpu.models.weights import load_params_npz
+    from mlis_tpu.train.pretrain_vpr import _build_model, _make_apply
+
+    # held-out parallax recall through the training-eval path
+    model, params = _build_model(0)
+    params = _match_dtypes(load_params_npz(CKPT_V2)["vpr"], params)
+    r = heldout_recall(
+        _make_apply(model), params, hw=(136, 180), parallax=True
+    )
+    assert r >= 0.45, r
+
+    # the deliverable: v2-scene retrieval recall beats the pixel encoder
+    # by a wide margin (a smaller scene keeps the CPU tier fast; the
+    # full-scene numbers are in BENCH_NOTES round 4)
+    enc = load_encoder(CKPT_V2)
+    scene = make_quality_scene_v2(
+        n_floors=2, n_places=12, hw=(136, 180), seed=3
+    )
+    rr = retrieval_metrics(scene, enc, top_k=8, threshold=0.3)
+    rr_pix = retrieval_metrics(scene, _pixel_encoder, top_k=8, threshold=0.3)
+    assert rr["retrieval_recall"] >= rr_pix["retrieval_recall"] + 0.1, (
+        rr, rr_pix,
+    )
