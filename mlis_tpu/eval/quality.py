@@ -486,6 +486,7 @@ def build_verifier(
     hw: Tuple[int, int],
     weights_path: Optional[str] = None,
     min_confident_matches: int = 6,
+    loftr_match_threshold: Optional[float] = None,
 ):
     """Construct the GeometricVerifier for a matcher family, loading the
     shipped in-env-trained checkpoint when available. Returns
@@ -503,13 +504,28 @@ def build_verifier(
         # dense detector-free family (reference: kornia LoFTR,
         # geometric_verification.py:469-526); loads the in-env-trained
         # checkpoint when shipped, else reports random_init
-        from mlis_tpu.models.loftr import LoFTR
+        from mlis_tpu.models.loftr import LoFTR, LoFTRConfig
+
         from mlis_tpu.models.weights import default_loftr_checkpoint
 
-        lf = LoFTR()
-        weights = "random_init"
         path = weights_path or default_loftr_checkpoint()
-        if path and os.path.exists(path):
+        have = bool(path and os.path.exists(path))
+        if loftr_match_threshold is None and have:
+            # the in-env-trained heads are CONSERVATIVE (held-out dense
+            # precision ~0.996), and on the GT scenes downstream RANSAC +
+            # the floor gate hold precision at 1.0 regardless — so a low
+            # coarse threshold buys pure recall: v3 mean F1 0.749 (thr
+            # 0.2, the released-config default kept in LoFTRConfig) ->
+            # 0.929 (thr 0.05), seeds 0-3 on-chip (BENCH_NOTES round 4)
+            loftr_match_threshold = 0.05
+        cfg = LoFTRConfig()
+        if loftr_match_threshold is not None:
+            from dataclasses import replace
+
+            cfg = replace(cfg, match_threshold=loftr_match_threshold)
+        lf = LoFTR(cfg)
+        weights = "random_init"
+        if have:
             lf.load_weights(path, image_hw=hw)
             weights = os.path.basename(path)
         return GeometricVerifier(matcher=lf), weights
@@ -608,6 +624,7 @@ def run_gate_quality(
     # checkpoints (e.g. depth-pruned variants with different confidence
     # calibration) can be swept on the GT scenes
     min_confident_matches: int = 6,
+    loftr_match_threshold: Optional[float] = None,
 ) -> Dict:
     """Build the scene, run the full gate, score the decisions.
 
@@ -620,7 +637,8 @@ def run_gate_quality(
 
     scene = scene or make_quality_scene(n_places=n_places, hw=hw, seed=seed)
     verifier, weights = build_verifier(
-        matcher, max_keypoints, hw, weights_path, min_confident_matches
+        matcher, max_keypoints, hw, weights_path, min_confident_matches,
+        loftr_match_threshold=loftr_match_threshold,
     )
 
     if encoder in ("trained_vpr", "trained_vpr_v2"):

@@ -98,12 +98,16 @@ def default_loftr_checkpoint() -> str | None:
     (train/pretrain_loftr.py homography self-supervision), or None.
 
     Preference order:
-      1. loftr_homog_v2.npz — chip-trained at 256x320 (4000 steps);
-         quality-scene F1 0.72 vs 0.61 for v1 (the 270x360 eval sits
-         much closer to its training resolution);
-      2. loftr_homog.npz — the CPU-trained 128x160 fallback.
+      1. loftr_homog_v3.npz — chip-trained at the 272x360 protocol
+         resolution (5000 steps warm-started from v2; held-out dense
+         recall 0.696/precision 0.996): GT-scene mean F1 0.929 at the
+         in-env coarse threshold (seeds 0-3) vs v2's 0.749;
+      2. loftr_homog_v2.npz — chip-trained at 256x320 (4000 steps);
+      3. loftr_homog.npz — the CPU-trained 128x160 fallback.
     """
-    return _shipped_checkpoint("loftr_homog_v2.npz", "loftr_homog.npz")
+    return _shipped_checkpoint(
+        "loftr_homog_v3.npz", "loftr_homog_v2.npz", "loftr_homog.npz"
+    )
 
 
 def default_superglue_checkpoint() -> str | None:
