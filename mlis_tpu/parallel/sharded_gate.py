@@ -78,7 +78,7 @@ def make_sharded_gate_program(
         float(min_time_gap), B, float(ransac_threshold), int(match_top_k),
     )
     if cache_key in _PROGRAM_CACHE:
-        return _PROGRAM_CACHE[cache_key]
+        return _PROGRAM_CACHE[cache_key][0]
 
     fused = matcher.make_fused_match_verify(hw, K, ransac_threshold)
     m_params = matcher.params
@@ -163,7 +163,11 @@ def make_sharded_gate_program(
             check_vma=False,
         )
     )
-    _PROGRAM_CACHE[cache_key] = prog
+    # the cache holds STRONG references to the keyed objects: id() keys
+    # alone could alias a new matcher/mesh that reuses a collected
+    # object's id and serve it a stale program (the program closes over
+    # matcher.params at build time)
+    _PROGRAM_CACHE[cache_key] = (prog, mesh, matcher, encode_fn)
     return prog
 
 
