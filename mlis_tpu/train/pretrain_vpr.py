@@ -47,6 +47,8 @@ import optax
 ENC_HW = (64, 96)
 DEFAULT_CKPT = "checkpoints/vpr_tiny.npz"
 CRICA_CKPT = "checkpoints/vpr_crica.npz"
+MIXVPR_CKPT = "checkpoints/vpr_mixvpr.npz"
+MIXVPR_HW = (320, 320)  # MixVPR's input contract (reference :308-332)
 # CricaVPR's input contract: 322x322 (14-divisible; 23x23 patch grid) —
 # reference place_recognition.py:781-803
 CRICA_HW = (322, 322)
@@ -61,6 +63,20 @@ def _build_model(seed: int = 0, arch: str = "tiny"):
     scored decision)."""
     from mlis_tpu.models.vit import ViT, ViTConfig
 
+    if arch == "mixvpr":
+        # FULL-architecture MixVPR: ResNet-50 crop-stage-3 backbone +
+        # 4-layer feature mixer at the real 320x320 input (reference
+        # place_recognition.py:308-332) — much stronger from-scratch
+        # inductive bias than the ViT-B cricavpr arch at this budget
+        from mlis_tpu.models.mixvpr import MixVPRModule
+        from mlis_tpu.models.resnet import ResNetConfig
+
+        model = MixVPRModule(ResNetConfig(crop_stage=3))
+        params = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, *MIXVPR_HW, 3), jnp.float32),
+        )
+        return model, params
     if arch == "cricavpr":
         cfg = ViTConfig.dinov2_vitb14()
         hw = CRICA_HW
@@ -75,7 +91,8 @@ def _build_model(seed: int = 0, arch: str = "tiny"):
     return model, params
 
 
-def _make_apply(model, enc_hw=ENC_HW, imagenet: bool = False) -> Callable:
+def _make_apply(model, enc_hw=ENC_HW, imagenet: bool = False,
+                pooling: str = "gem") -> Callable:
     from mlis_tpu.ops.pooling import gem_pool
 
     def apply_fn(p, x):
@@ -94,6 +111,10 @@ def _make_apply(model, enc_hw=ENC_HW, imagenet: bool = False) -> Callable:
                 x, (x.shape[0],) + tuple(enc_hw), method="linear"
             )
             rgb = jnp.repeat(xr[..., None], 3, axis=-1).astype(jnp.float32)
+        if pooling == "module":
+            # the module IS the full encoder (MixVPRModule returns the
+            # L2-normalized descriptor directly)
+            return model.apply(p, rgb)
         out = model.apply(p, rgb)
         d = gem_pool(out["patches"], p=3.0)
         return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
@@ -293,6 +314,29 @@ def load_encoder(path: Optional[str] = None, seed: int = 0,
     return encode
 
 
+def load_mixvpr_vpr(path: Optional[str] = None, seed: int = 0, **kw):
+    """Build a models/mixvpr.MixVPR whose backbone+mixer carry the
+    in-env-trained weights (checkpoints/vpr_mixvpr.npz,
+    `pretrain_vpr --arch mixvpr`). Returns None when no checkpoint
+    ships."""
+    from mlis_tpu.models.convert import _match_dtypes
+    from mlis_tpu.models.mixvpr import MixVPR
+    from mlis_tpu.models.weights import load_params_npz
+
+    root = Path(__file__).resolve().parents[2]
+    p = Path(path) if path else root / MIXVPR_CKPT
+    if not p.exists() and path and not Path(path).is_absolute():
+        p = root / path
+    if not p.exists():
+        return None
+    vpr = MixVPR(seed=seed, **kw)
+    vpr.params = jax.device_put(
+        _match_dtypes(load_params_npz(str(p))["vpr"], vpr.params)
+    )
+    vpr._jit_forward = None
+    return vpr
+
+
 def load_crica_vpr(path: Optional[str] = None, seed: int = 0,
                    **crica_kw):
     """Build a models/cricavpr.CricaVPR whose ViT-B/14 backbone carries
@@ -332,9 +376,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--arch", choices=("tiny", "cricavpr"), default="tiny",
+    ap.add_argument("--arch", choices=("tiny", "cricavpr", "mixvpr"),
+                    default="tiny",
                     help="'cricavpr' = full DINOv2-style ViT-B/14 at "
-                    "322x322 + GeM (the reference's flagship VPR)")
+                    "322x322 + GeM; 'mixvpr' = full ResNet-50 + "
+                    "feature-mixer at 320x320 (the reference's default "
+                    "VPR method)")
     ap.add_argument("--parallax", action="store_true",
                     help="train on layered-scene SE(3) parallax views "
                     "(the v2 GT scene's corruption family) instead of "
@@ -349,10 +396,12 @@ def main(argv=None) -> dict:
         args.steps, args.chunk = 30, 10
         args.height, args.width = 96, 128
         args.places, args.views = 6, 3
-    if args.arch == "cricavpr" and args.places == 16 and not args.tiny:
-        args.places = 8  # batch 32: ViT-B at 322^2 is ~250x the tiny cost
+    if args.arch in ("cricavpr", "mixvpr") and args.places == 16 and not args.tiny:
+        args.places = 8  # batch 32: full-size backbones at 320^2
     if args.out is None:
-        args.out = CRICA_CKPT if args.arch == "cricavpr" else DEFAULT_CKPT
+        args.out = {
+            "cricavpr": CRICA_CKPT, "mixvpr": MIXVPR_CKPT,
+        }.get(args.arch, DEFAULT_CKPT)
 
     from mlis_tpu.models.weights import save_params_npz
 
@@ -360,6 +409,9 @@ def main(argv=None) -> dict:
     out.parent.mkdir(parents=True, exist_ok=True)
     log_path = out.with_name(out.stem + "_log.json")
 
+    arch_hw = {"cricavpr": CRICA_HW, "mixvpr": MIXVPR_HW}.get(
+        args.arch, ENC_HW
+    )
     model, params = _build_model(args.seed, arch=args.arch)
     if args.init_from:
         from mlis_tpu.models.convert import _match_dtypes
@@ -371,8 +423,9 @@ def main(argv=None) -> dict:
         print(f"warm-started from {args.init_from}", flush=True)
     apply_fn = _make_apply(
         model,
-        CRICA_HW if args.arch == "cricavpr" else ENC_HW,
-        imagenet=args.arch == "cricavpr",
+        arch_hw,
+        imagenet=args.arch in ("cricavpr", "mixvpr"),
+        pooling="module" if args.arch == "mixvpr" else "gem",
     )
     hw = (args.height, args.width)
 
