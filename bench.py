@@ -463,7 +463,11 @@ def bench_quality_v2() -> dict:
 
     # retrieval-stage metrics per encoder (+ CricaVPR rerank A/B)
     from mlis_tpu.eval.quality import _pixel_encoder
-    from mlis_tpu.train.pretrain_vpr import load_crica_vpr, load_encoder
+    from mlis_tpu.train.pretrain_vpr import (
+        load_crica_vpr,
+        load_encoder,
+        load_mixvpr_vpr,
+    )
 
     sc0 = scenes[seeds[0]]
     encs = {"pixel": _pixel_encoder}
@@ -473,6 +477,9 @@ def bench_quality_v2() -> dict:
     e_v1 = load_encoder()
     if e_v1 is not None:
         encs["trained_vpr"] = e_v1
+    mv = load_mixvpr_vpr()
+    if mv is not None:
+        encs["mixvpr_trained"] = mv.encode_batch_device
     for name, e in encs.items():
         m = retrieval_metrics(sc0, e, top_k=top_k, threshold=thr)
         rows[f"rr_{name}"] = round(m["retrieval_recall"], 3)

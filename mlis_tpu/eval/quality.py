@@ -671,10 +671,22 @@ def run_gate_quality(
             crica = CricaVPR()
             encoder = "cricavpr_random"
         enc = crica.encode_batch_device
+    elif encoder == "mixvpr_trained":
+        # FULL-architecture MixVPR (ResNet-50 + mixer @ 320^2) with the
+        # in-env-trained weights (pretrain_vpr --arch mixvpr)
+        from mlis_tpu.models.mixvpr import MixVPR
+        from mlis_tpu.train.pretrain_vpr import load_mixvpr_vpr
+
+        mv = load_mixvpr_vpr()
+        if mv is None:
+            mv = MixVPR()
+            encoder = "mixvpr_random"
+        enc = mv.encode_batch_device
 
     if encoder in (
         "pixel", "trained_vpr", "trained_vpr_v2",
         "cricavpr_trained", "cricavpr_random",
+        "mixvpr_trained", "mixvpr_random",
     ):
         enc_fn = _pixel_encoder if encoder == "pixel" else enc
         spr = SimpleNamespace(
