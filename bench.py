@@ -433,10 +433,14 @@ def bench_quality_v2() -> dict:
         scenes[seed] = make_quality_scene_v2(seed=seed)
     for fam in families:
         f1s, precs, recs = [], [], []
+        # dense LoFTR attends over ~1.5k coarse tokens PER PAIR at this
+        # resolution — a 256-pair verify batch exhausts HBM (measured);
+        # the sparse families batch comfortably at 256
+        vb = 32 if fam == "loftr" else 256
         for seed in seeds:
             out = run_gate_quality(
                 fam, scene=scenes[seed], encoder="trained_vpr_v2",
-                top_k=top_k, similarity_threshold=thr, verify_batch=256,
+                top_k=top_k, similarity_threshold=thr, verify_batch=vb,
             )
             f1s.append(out["f1"])
             precs.append(out["precision"])

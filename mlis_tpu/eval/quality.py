@@ -863,6 +863,7 @@ def run_gate_quality_rerank(
         results = verifier.verify_pairs_batch(
             gray[survivors[:, 0]], gray[survivors[:, 1]], scene.K,
             indices=[(int(a), int(b)) for a, b in survivors],
+            batch_size=64,
         )
     res = SimpleNamespace(
         results=results,

@@ -525,6 +525,7 @@ class FullGatePipeline:
                     gray[survivors[:, 1]],
                     K,
                     indices=[(int(a), int(b)) for a, b in survivors],
+                    batch_size=self.verify_batch,
                 )
             res.verify_s = time.perf_counter() - t0
             res.verified = len(res.results)

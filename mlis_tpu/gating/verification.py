@@ -308,11 +308,28 @@ class GeometricVerifier:
         K: np.ndarray,
         indices: Optional[Sequence[Tuple[int, int]]] = None,
         seed: int = 0,
+        batch_size: Optional[int] = None,
     ) -> List[MatchResult]:
         """Device-resident batch: detector + matcher + vmapped RANSAC/pose
         as ONE fused jitted dispatch when the matcher supports it
         (per-dispatch latency dominates the multi-call path on the tunnel).
+
+        batch_size bounds the per-dispatch pair count: dense matchers
+        (LoFTR) attend over ~1.5k coarse tokens per pair at 270x360, so
+        an unchunked several-hundred-pair batch exhausts compile/HBM
+        budgets (measured on the v2 quality scene).
         """
+        P_total = int(len(images0))
+        if batch_size and P_total > batch_size:
+            out: List[MatchResult] = []
+            for s in range(0, P_total, batch_size):
+                e = min(s + batch_size, P_total)
+                out += self.verify_pairs_batch(
+                    images0[s:e], images1[s:e], K,
+                    indices=indices[s:e] if indices is not None else None,
+                    seed=seed + s,
+                )
+            return out
         hw = (int(images0.shape[1]), int(images0.shape[2]))
         if hasattr(self.matcher, "make_fused_verify"):
             key = (hw, float(np.asarray(K)[0, 0]))
