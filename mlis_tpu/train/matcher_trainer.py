@@ -144,6 +144,125 @@ def gt_assignment(
     return gt.at[rows, nn0].set(mutual & close)
 
 
+def render_layered_pair(
+    key,
+    H: int,
+    W: int,
+    depths=(4.0, 7.0, 12.0),
+    layer_coverage=(0.22, 0.40),
+    max_rot_deg: float = 5.0,
+    max_trans: float = 0.45,
+    max_trans_z: float = 1.2,
+    brightness: float = 0.08,
+):
+    """One layered piecewise-planar place (eval/quality.
+    make_quality_scene_v2's render model) observed canonically (view 0)
+    and from a random SE(3) camera pose (view 1) — TRUE two-view
+    geometry with parallax, occlusion boundaries and scale change, and
+    EXACT per-pixel ground truth: each pixel's depth layer is known, so
+    its correspondence is its layer's plane-induced homography, and its
+    visibility in view 1 is whether the same layer is on top there.
+
+    Returns (img0, img1, layer_id0 (H, W) int32, layer_id1, Hs (L, 3, 3))
+    — layer_id1 is -1 where view 1 sees nothing (outside every warped
+    layer, including the full-support background's frame border).
+    """
+    from mlis_tpu.eval.quality import (
+        _blob_mask,
+        _plane_homography,
+        _rotation_matrix,
+    )
+
+    L = len(depths)
+    kt, km, kp, kb = jax.random.split(key, 4)
+    tex = synthetic_textures(kt, L, H, W)
+    mkeys = jax.random.split(km, max(L - 1, 1))
+    masks = [
+        _blob_mask(mkeys[l], H, W, layer_coverage[l]) for l in range(L - 1)
+    ] + [jnp.ones((H, W))]
+
+    f = 200.0 * (W / 360.0)
+    K = jnp.asarray([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(K)
+    ka, ktr = jax.random.split(kp)
+    rot = jnp.deg2rad(max_rot_deg)
+    angles = jax.random.uniform(ka, (3,), minval=-rot, maxval=rot)
+    t3 = jax.random.uniform(ktr, (3,), minval=-1.0, maxval=1.0) * (
+        jnp.asarray([max_trans, max_trans, max_trans_z])
+    )
+    R = _rotation_matrix(angles)
+    Hs = jnp.stack(
+        [_plane_homography(K, Kinv, R, t3, d) for d in depths]
+    )
+
+    img0 = jnp.zeros((H, W))
+    lid0 = jnp.full((H, W), L - 1, jnp.int32)
+    img1 = jnp.zeros((H, W))
+    lid1 = jnp.full((H, W), -1, jnp.int32)
+    for l in range(L - 1, -1, -1):
+        on0 = masks[l] > 0.5
+        img0 = jnp.where(on0, tex[l], img0)
+        lid0 = jnp.where(on0, l, lid0)
+        iw = warp_image(tex[l], Hs[l])
+        mw = warp_image(masks[l], Hs[l])
+        on1 = mw > 0.5
+        img1 = jnp.where(on1, iw, img1)
+        lid1 = jnp.where(on1, l, lid1)
+    b0, b1 = jax.random.uniform(
+        kb, (2,), minval=-brightness, maxval=brightness
+    )
+    img0 = jnp.clip(img0 + b0, 0.0, 1.0)
+    img1 = jnp.clip(img1 + b1, 0.0, 1.0)
+    return img0, img1, lid0, lid1, Hs
+
+
+def gt_assignment_parallax(
+    kp0: jnp.ndarray,  # (K, 2) xy in view 0
+    m0: jnp.ndarray,
+    kp1: jnp.ndarray,
+    m1: jnp.ndarray,
+    lid0: jnp.ndarray,  # (H, W) int32 per-pixel layer in view 0
+    lid1: jnp.ndarray,  # (H, W) int32 per-pixel layer in view 1 (-1=none)
+    Hs: jnp.ndarray,  # (L, 3, 3) per-layer plane-induced homographies
+    threshold_px: float = 3.0,
+    image_hw: Tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """(K, K) bool GT matches for a layered two-view pair: each keypoint
+    projects through ITS OWN layer's homography, and counts only when
+    the same layer is visible (not occluded by a nearer layer, not out
+    of view) at the projected pixel — occlusion-aware supervision that a
+    single-homography gt_assignment cannot express."""
+    Hh, Ww = lid0.shape
+    xi0 = jnp.clip(jnp.round(kp0[:, 0]).astype(jnp.int32), 0, Ww - 1)
+    yi0 = jnp.clip(jnp.round(kp0[:, 1]).astype(jnp.int32), 0, Hh - 1)
+    l0 = lid0[yi0, xi0]  # (K,)
+    Hsel = Hs[l0]  # (K, 3, 3)
+    p = jnp.concatenate([kp0, jnp.ones_like(kp0[:, :1])], axis=-1)
+    q = jnp.einsum("kij,kj->ki", Hsel, p)
+    proj = q[:, :2] / (q[:, 2:3] + 1e-9)
+    in_view = (
+        (proj[:, 0] >= 0.0)
+        & (proj[:, 0] <= Ww - 1)
+        & (proj[:, 1] >= 0.0)
+        & (proj[:, 1] <= Hh - 1)
+    )
+    xi1 = jnp.clip(jnp.round(proj[:, 0]).astype(jnp.int32), 0, Ww - 1)
+    yi1 = jnp.clip(jnp.round(proj[:, 1]).astype(jnp.int32), 0, Hh - 1)
+    visible = lid1[yi1, xi1] == l0  # same layer on top at the projection
+    v0 = m0 & in_view & visible
+
+    d = jnp.linalg.norm(proj[:, None, :] - kp1[None, :, :], axis=-1)
+    d = jnp.where(v0[:, None] & m1[None, :], d, jnp.inf)
+    nn0 = jnp.argmin(d, axis=1)
+    nn1 = jnp.argmin(d, axis=0)
+    K = kp0.shape[0]
+    mutual = jnp.take(nn1, nn0) == jnp.arange(K)
+    close = jnp.take_along_axis(d, nn0[:, None], axis=1)[:, 0] < threshold_px
+    gt = jnp.zeros((K, K), bool)
+    rows = jnp.arange(K)
+    return gt.at[rows, nn0].set(mutual & close)
+
+
 def matcher_loss(
     scores: jnp.ndarray,  # (B, K, K) assignment scores in [0, 1]
     gt: jnp.ndarray,  # (B, K, K) bool
@@ -217,11 +336,15 @@ class MatcherTrainer:
         max_corner_jitter: float = 0.15,
         seed: int = 0,
         optimizer: optax.GradientTransformation | None = None,
+        pair_mode: str = "homography",  # or "parallax": layered-scene
+        # SE(3) pairs with occlusion-aware GT (render_layered_pair +
+        # gt_assignment_parallax) — the v2 GT scene's distribution
     ):
         self.matcher = matcher
         self.image_hw = (int(image_hw[0]), int(image_hw[1]))
         self.threshold_px = float(threshold_px)
         self.max_corner_jitter = float(max_corner_jitter)
+        self.pair_mode = pair_mode
         self.optimizer = optimizer or optax.chain(
             optax.clip_by_global_norm(1.0), optax.adam(learning_rate)
         )
@@ -255,13 +378,23 @@ class MatcherTrainer:
         jitter = self.max_corner_jitter
         H, W = hw
 
+        parallax = self.pair_mode == "parallax"
+
         def step(m_params, opt_state, images, key):
             B = images.shape[0]
             hkeys = jax.random.split(key, B)
-            Hms = jax.vmap(
-                lambda k: random_homography(k, H, W, jitter)
-            )(hkeys)
-            warped = jax.vmap(warp_image)(images, Hms)
+            if parallax:
+                # images arg only sets the batch size: the layered pairs
+                # synthesize their own textures (fresh every step)
+                img0, img1, lid0, lid1, Hs_all = jax.vmap(
+                    lambda k: render_layered_pair(k, H, W)
+                )(hkeys)
+            else:
+                Hms = jax.vmap(
+                    lambda k: random_homography(k, H, W, jitter)
+                )(hkeys)
+                img0 = images
+                img1 = jax.vmap(warp_image)(images, Hms)
 
             def detect(imgs):
                 heat, desc_map = sp_net.apply(sp_params, imgs[..., None])
@@ -272,13 +405,23 @@ class MatcherTrainer:
                 descs = sample_descriptors(desc_map, coords)
                 return Keypoints(coords, scores, descs, mask)
 
-            kp0 = jax.lax.stop_gradient(detect(images))
-            kp1 = jax.lax.stop_gradient(detect(warped))
-            gt = jax.vmap(
-                lambda c0, v0, c1, v1, Hm: gt_assignment(
-                    c0, v0, c1, v1, Hm, thr, image_hw=hw
+            kp0 = jax.lax.stop_gradient(detect(img0))
+            kp1 = jax.lax.stop_gradient(detect(img1))
+            if parallax:
+                gt = jax.vmap(
+                    lambda c0, v0, c1, v1, l0, l1, Hl: gt_assignment_parallax(
+                        c0, v0, c1, v1, l0, l1, Hl, thr, image_hw=hw
+                    )
+                )(
+                    kp0.coords, kp0.mask, kp1.coords, kp1.mask,
+                    lid0, lid1, Hs_all,
                 )
-            )(kp0.coords, kp0.mask, kp1.coords, kp1.mask, Hms)
+            else:
+                gt = jax.vmap(
+                    lambda c0, v0, c1, v1, Hm: gt_assignment(
+                        c0, v0, c1, v1, Hm, thr, image_hw=hw
+                    )
+                )(kp0.coords, kp0.mask, kp1.coords, kp1.mask, Hms)
 
             def loss_fn(p):
                 scores, mp0, mp1 = matcher.net.apply(
@@ -353,10 +496,48 @@ class MatcherTrainer:
     def match_recall(self, images: np.ndarray, key=None) -> float:
         return self.match_metrics(images, key)["recall"]
 
+    def parallax_match_metrics(self, n_pairs: int = 16, key=None) -> dict:
+        """Held-out diagnostics on fresh LAYERED SE(3) pairs (parallax +
+        occlusion GT via gt_assignment_parallax)."""
+        key = key if key is not None else jax.random.PRNGKey(991)
+        H, W = self.image_hw
+        img0, img1, lid0, lid1, Hs_all = jax.vmap(
+            lambda k: render_layered_pair(k, H, W)
+        )(jax.random.split(key, n_pairs))
+        kp0 = self.matcher.sp.detect(img0[..., None])
+        kp1 = self.matcher.sp.detect(img1[..., None])
+        gt = jax.vmap(
+            lambda c0, v0, c1, v1, l0, l1, Hl: gt_assignment_parallax(
+                c0, v0, c1, v1, l0, l1, Hl, self.threshold_px,
+                image_hw=self.image_hw,
+            )
+        )(kp0.coords, kp0.mask, kp1.coords, kp1.mask, lid0, lid1, Hs_all)
+        matches = self.matcher.match_keypoints(kp0, kp1, self.image_hw)
+        K = kp0.coords.shape[1]
+        pred = jnp.zeros((n_pairs, K, K), bool)
+        rows = jnp.arange(K)
+        idx = jnp.clip(matches.idx0, 0, K - 1)
+        pred = jax.vmap(
+            lambda p, i, v: p.at[rows, i].set(v)
+        )(pred, idx, matches.valid)
+        hits = (pred & gt).sum()
+        return {
+            "recall": float(hits / jnp.maximum(gt.sum(), 1)),
+            "precision": float(hits / jnp.maximum(pred.sum(), 1)),
+            "n_gt": int(gt.sum()),
+            "n_pred": int(pred.sum()),
+        }
+
     def match_metrics(self, images: np.ndarray, key=None) -> dict:
-        """Held-out diagnostics on fresh homography pairs:
-        recall = fraction of GT correspondences recovered,
-        precision = fraction of predicted matches that are GT."""
+        """Held-out diagnostics on fresh pairs from the TRAINING pair
+        distribution (homography by default; layered SE(3) pairs in
+        parallax mode): recall = fraction of GT correspondences
+        recovered, precision = fraction of predicted matches that are
+        GT."""
+        if self.pair_mode == "parallax":
+            return self.parallax_match_metrics(
+                n_pairs=int(len(images)), key=key
+            )
         key = key if key is not None else jax.random.PRNGKey(999)
         H, W = self.image_hw
         imgs = jnp.asarray(images)

@@ -85,6 +85,12 @@ def main(argv=None) -> dict:
         "--dim", type=int, default=256,
         help="matcher feature width (default 256)",
     )
+    ap.add_argument(
+        "--parallax", action="store_true",
+        help="train on layered-scene SE(3) pairs with occlusion-aware "
+        "GT (render_layered_pair) instead of single homographies — the "
+        "v2 GT scene's two-view distribution",
+    )
     args = ap.parse_args(argv)
     if args.tiny:
         args.kpts, args.height, args.width = 48, 64, 96
@@ -95,7 +101,8 @@ def main(argv=None) -> dict:
     from mlis_tpu.train.matcher_trainer import MatcherTrainer, synthetic_textures
 
     if args.out is None:
-        args.out = f"checkpoints/{args.arch}_homog.npz"
+        suffix = "parallax" if args.parallax else "homog"
+        args.out = f"checkpoints/{args.arch}_{suffix}.npz"
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     log_path = out.with_name(out.stem + "_log.json")
@@ -149,7 +156,8 @@ def main(argv=None) -> dict:
         optax.clip_by_global_norm(1.0), optax.adam(schedule)
     )
     trainer = MatcherTrainer(
-        lg, (args.height, args.width), optimizer=optimizer, seed=args.seed
+        lg, (args.height, args.width), optimizer=optimizer, seed=args.seed,
+        pair_mode="parallax" if args.parallax else "homography",
     )
 
     # fixed held-out textures (key disjoint from the training stream,
@@ -164,7 +172,7 @@ def main(argv=None) -> dict:
     history = {
         "config": {k: getattr(args, k.replace("-", "_")) for k in (
             "steps", "chunk", "batch", "kpts", "height", "width",
-            "peak_lr", "warmup", "seed", "depth", "dim",
+            "peak_lr", "warmup", "seed", "depth", "dim", "parallax",
         )},
     }
 

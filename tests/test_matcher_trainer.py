@@ -89,3 +89,39 @@ def test_matcher_training_improves_recall(rng):
     assert np.isfinite(losses).all()
     assert losses[-5:].mean() < losses[:5].mean() * 0.9  # loss drops materially
     assert recall_after >= recall_before  # and held-out recall doesn't regress
+
+
+def test_gt_assignment_parallax_occlusion_aware():
+    """Hand-built two-layer case: a keypoint on the far layer projects
+    through the FAR plane's homography, and is excluded when the near
+    layer covers its projection in view 1 (occlusion) — supervision a
+    single-homography gt_assignment cannot express."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mlis_tpu.train.matcher_trainer import gt_assignment_parallax
+
+    H = W = 64
+    # layer 0 (near) covers the left half of view 1 ONLY; view 0 is all
+    # far layer (layer 1)
+    lid0 = jnp.ones((H, W), jnp.int32)  # everything far in view 0
+    lid1 = jnp.where(
+        jnp.arange(W)[None, :] < W // 2, 0, 1
+    ) * jnp.ones((H, 1), jnp.int32)
+    # far plane shifts +8 px in x; near plane irrelevant here
+    H_far = jnp.asarray([[1.0, 0, 8.0], [0, 1, 0], [0, 0, 1]])
+    H_near = jnp.asarray([[1.0, 0, 20.0], [0, 1, 0], [0, 0, 1]])
+    Hs = jnp.stack([H_near, H_far])
+
+    # kp A at x=40 (projects to 48, right half -> far layer visible: GT)
+    # kp B at x=10 (projects to 18, LEFT half -> occluded by near: no GT)
+    kp0 = jnp.asarray([[40.0, 32.0], [10.0, 32.0]])
+    m0 = jnp.ones(2, bool)
+    kp1 = jnp.asarray([[48.0, 32.0], [18.0, 32.0]])
+    m1 = jnp.ones(2, bool)
+    gt = np.asarray(
+        gt_assignment_parallax(kp0, m0, kp1, m1, lid0, lid1, Hs, 3.0, (H, W))
+    )
+    assert gt[0, 0]  # visible far-layer correspondence kept
+    assert not gt[1].any()  # occluded correspondence excluded
+    assert gt.sum() == 1
