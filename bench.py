@@ -33,6 +33,11 @@ Modes (MLIS_BENCH_MODE env):
         production shapes (4096-entry ring buffer, 4096-d descriptors,
         micro-batch 16); vs_baseline is the real-time factor against a
         10 Hz keyframe stream.
+  roofline — per-stage roofline decomposition of the mega gate program
+        (grayscale / detect / encode / retrieve / match / RANSAC): each
+        stage timed on-chip vs the v5e MXU + HBM peaks with analytic
+        FLOP/byte models (utils/roofline.py); names each stage's bound.
+        MLIS_BENCH_ROOFLINE_RES=fullres runs the 540x720 protocol.
   probe — tunnel-health probe (backend init + one tiny op round-trip).
 """
 
@@ -103,27 +108,15 @@ def bench_sweep() -> dict:
     }
 
 
-def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = False) -> dict:
-    n_keyframes = n_keyframes or int(os.environ.get("MLIS_BENCH_KEYFRAMES", 128))
+def _headline_setup(n_keyframes: int, fullres: bool) -> dict:
+    """Build the headline-protocol workload + pipeline (shared by the
+    `full`/`fullres` throughput modes and the `roofline` decomposition so
+    the roofline measures exactly the shipped protocol)."""
     from mlis_tpu.gating.full_gate import FullGatePipeline
     from mlis_tpu.gating.verification import GeometricVerifier
-    from mlis_tpu.models.lightglue import LightGlue, MatcherConfig
+    from mlis_tpu.models.lightglue import LightGlue
     from mlis_tpu.models.superpoint import SuperPointConfig
 
-    print(
-        "[bench] parity check (first TPU dispatch: tri-count pallas kernel "
-        "remote-compile; multi-minute on a degraded tunnel)...",
-        file=sys.stderr,
-        flush=True,
-    )
-    t_par = time.perf_counter()
-    parity_ok = _check_parity()
-    print(
-        f"[bench] parity {'ok' if parity_ok else 'SKIPPED (no reference data)'} "
-        f"in {time.perf_counter() - t_par:.1f}s",
-        file=sys.stderr,
-        flush=True,
-    )
     # fullres: native 540x720 NUFR keyframes with the reference's
     # max-2048-keypoint detector configuration
     # (geometric_verification.py:216-242) — reported alongside the
@@ -229,6 +222,47 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
         # full scoring; see ops/epipolar.essential_ransac)
         ransac_subset=int(os.environ.get("MLIS_RANSAC_SUBSET", "0")),
     )
+    return {
+        "pipe": pipe,
+        "matcher": matcher,
+        "images": images,
+        "timestamps": timestamps,
+        "floors": floors,
+        "K": K,
+        "weights": weights,
+        "arch": arch,
+        "res_h": res_h,
+        "res_w": res_w,
+        "max_kpts": max_kpts,
+        "match_top_k": match_top_k,
+    }
+
+
+def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = False) -> dict:
+    n_keyframes = n_keyframes or int(os.environ.get("MLIS_BENCH_KEYFRAMES", 128))
+
+    print(
+        "[bench] parity check (first TPU dispatch: tri-count pallas kernel "
+        "remote-compile; multi-minute on a degraded tunnel)...",
+        file=sys.stderr,
+        flush=True,
+    )
+    t_par = time.perf_counter()
+    parity_ok = _check_parity()
+    print(
+        f"[bench] parity {'ok' if parity_ok else 'SKIPPED (no reference data)'} "
+        f"in {time.perf_counter() - t_par:.1f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    s = _headline_setup(n_keyframes, fullres)
+    pipe, matcher = s["pipe"], s["matcher"]
+    images, timestamps, floors, K = (
+        s["images"], s["timestamps"], s["floors"], s["K"],
+    )
+    weights, arch = s["weights"], s["arch"]
+    res_h, res_w = s["res_h"], s["res_w"]
+    max_kpts, match_top_k = s["max_kpts"], s["match_top_k"]
 
     from mlis_tpu.utils.flops import V5E_PEAK_BF16, full_gate_flops
 
@@ -333,6 +367,304 @@ def bench_full_gate(n_keyframes: int = None, reps: int = 5, fullres: bool = Fals
     }
 
 
+def bench_roofline(n_keyframes: int = None) -> dict:
+    """Per-stage roofline decomposition of the headline mega program
+    (round-3 verdict task 3): each stage of the gate — grayscale,
+    SuperPoint detect, VPR encode, retrieval/gate-compact, matcher
+    transformer, RANSAC — timed as its own on-chip program, placed
+    against the v5e MXU (197 TFLOP/s bf16) and HBM (819 GB/s) rooflines
+    with the analytic FLOP/byte models in utils/{flops,roofline}.py.
+
+    Timing protocol (high-RTT tunnel): each stage runs R times inside
+    ONE lax.scan dispatch with a loop-carried perturbation (defeats CSE/
+    hoisting), scalar-fetched; per-iteration time = (T - rtt)/R with the
+    measured empty-dispatch RTT subtracted; best of 3 trials.
+    MLIS_BENCH_ROOFLINE_RES=fullres decomposes the 540x720 protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlis_tpu.utils import roofline as rl
+    from mlis_tpu.utils.flops import (
+        matcher_flops,
+        superpoint_flops,
+    )
+
+    n_keyframes = n_keyframes or int(os.environ.get("MLIS_BENCH_KEYFRAMES", 128))
+    fullres = os.environ.get("MLIS_BENCH_ROOFLINE_RES", "") == "fullres"
+    s = _headline_setup(n_keyframes, fullres)
+    pipe, matcher = s["pipe"], s["matcher"]
+    images, timestamps, floors, K = (
+        s["images"], s["timestamps"], s["floors"], s["K"],
+    )
+    res_h, res_w = s["res_h"], s["res_w"]
+    max_kpts, match_top_k = s["max_kpts"], s["match_top_k"]
+    n = len(images)
+    h8, w8 = (res_h // 8) * 8, (res_w // 8) * 8
+    vpr = pipe.spr.vpr
+    in_h, in_w = vpr.input_size
+    D_vpr = None  # filled after encode runs
+
+    # one exact pass for the observed survivor count -> the mega's M
+    print("[roofline] warm pass for survivor count...", file=sys.stderr, flush=True)
+    res0 = pipe.process(
+        images, timestamps, floors, K, encode_batch_size=128
+    )
+    k = min(pipe.top_k, n)
+    M = pipe._budget_slots(min(res0.verified or 1, n * k))
+    M = int(min(M, n * k))
+    print(
+        f"[roofline] survivors={res0.verified} -> M={M} slots",
+        file=sys.stderr, flush=True,
+    )
+
+    from mlis_tpu.gating.full_gate import _gate_compact
+    from mlis_tpu.models.lightglue import extract_matches
+    from mlis_tpu.models.superpoint import (
+        Keypoints,
+        nms_heatmap,
+        sample_descriptors,
+        topk_keypoints,
+    )
+    from mlis_tpu.ops.epipolar import essential_ransac_batch
+    from mlis_tpu.ops.image import preprocess_imagenet, to_grayscale
+
+    sp = matcher.sp
+    sp.init_params((h8, w8))
+    hw = (res_h, res_w)
+    sx, sy = res_w / w8, res_h / h8
+    K_j = jnp.asarray(K, jnp.float32)
+    m_cfg = matcher.cfg
+
+    images_dev = jax.device_put(images)
+    times_dev = jnp.asarray(np.asarray(timestamps, np.float32))
+    floors_dev = jnp.asarray(np.asarray(floors, np.int32))
+    jax.block_until_ready(images_dev)
+
+    # ---- stage programs (mirror _get_mega's internals exactly) ----
+    def f_gray(eps8, imgs):
+        return to_grayscale(imgs + eps8, size=(h8, w8))
+
+    def f_detect(eps, gray):
+        heat, dmap = sp.net.apply(sp.params, gray + eps)
+        heat = nms_heatmap(heat, sp.cfg.nms_radius)
+        coords, scores, mask = topk_keypoints(
+            heat, sp.cfg.max_keypoints, sp.cfg.detection_threshold
+        )
+        descs = sample_descriptors(dmap, coords)
+        coords = coords * jnp.asarray([sx, sy], jnp.float32)
+        kp = Keypoints(coords, scores, descs, mask)
+        if match_top_k and match_top_k < kp.coords.shape[1]:
+            kp = jax.tree_util.tree_map(lambda x: x[:, :match_top_k], kp)
+        return kp
+
+    def f_encode(eps8, imgs):
+        x = preprocess_imagenet(imgs + eps8, vpr.input_size)
+        return vpr._forward(vpr.params, x)
+
+    def f_retrieve(eps, db):
+        return _gate_compact(
+            db + eps, times_dev, floors_dev,
+            k=k, M=M,
+            threshold=float(pipe.similarity_threshold),
+            min_time_gap=float(pipe.min_time_gap),
+            strict=bool(pipe.strict_floor),
+        )
+
+    def f_match(eps, kp_all, qi, mi):
+        kp_all = kp_all._replace(descriptors=kp_all.descriptors + eps)
+        kp0 = jax.tree_util.tree_map(lambda x: x[qi], kp_all)
+        kp1 = jax.tree_util.tree_map(lambda x: x[mi], kp_all)
+        scores = matcher.net.apply(
+            matcher.params,
+            kp0.descriptors, kp0.coords, kp0.mask,
+            kp1.descriptors, kp1.coords, kp1.mask,
+            hw,
+        )
+        matches = extract_matches(
+            scores, kp0.mask, kp1.mask, m_cfg.match_threshold
+        )
+        return matches, kp0.coords, kp1.coords
+
+    def f_ransac(eps, c0, mk1, valid):
+        res, T, good = essential_ransac_batch(
+            c0 + eps, mk1, valid, K_j, jax.random.PRNGKey(0),
+            pipe.num_hypotheses, pipe.verifier.ransac_threshold,
+            pipe.ransac_subset,
+        )
+        return res.num_inliers
+
+    # MLIS_ROOFLINE_FAST=1: single-iteration single-trial run (CPU smoke
+    # validation of the stage programs; the chip run uses full reps)
+    fast = os.environ.get("MLIS_ROOFLINE_FAST", "") == "1"
+
+    def timed(name, fn, scalarize, args, reps, float_eps=True, trials=3):
+        if fast:
+            reps, trials = 2, 1
+        """Run fn `reps` times inside one lax.scan dispatch; the loop
+        carry perturbs the first arg (dynamically zero) so XLA can't
+        hoist the body. Returns best-of-`trials` per-iteration seconds
+        after subtracting the measured empty-dispatch RTT."""
+        def run(*a):
+            def body(acc, _):
+                eps = (
+                    acc * 1e-30
+                    if float_eps
+                    else (acc * 1e-30).astype(a[0].dtype)
+                )
+                out = fn(eps, *a)
+                return acc + scalarize(out) * 1e-30, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+            return acc
+        jfn = jax.jit(run)
+        float(jfn(*args))  # compile + warm
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(jfn(*args))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        per = max((best - rtt) / reps, 1e-6)
+        print(
+            f"[roofline] {name}: {per * 1e3:.2f} ms/iter "
+            f"(R={reps}, raw {best:.3f}s, rtt {rtt:.3f}s)",
+            file=sys.stderr, flush=True,
+        )
+        return per
+
+    # empty-dispatch RTT baseline (tiny op, scalar fetch)
+    tiny = jax.jit(lambda x: jnp.sum(x) * 1e-30)
+    xs = jnp.zeros((8,), jnp.float32)
+    float(tiny(xs))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny(xs))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+    print(f"[roofline] rtt baseline: {rtt * 1e3:.1f} ms", file=sys.stderr, flush=True)
+
+    # stage inputs (device-resident, produced by the previous stage)
+    gray = jax.jit(lambda im: to_grayscale(im, size=(h8, w8)))(images_dev)
+    kp_all = jax.jit(lambda g: f_detect(jnp.float32(0), g))(gray)
+    db = jax.jit(lambda im: f_encode(jnp.zeros((), im.dtype), im))(images_dev)
+    D_vpr = int(db.shape[1])
+    qi, mi, _stats = f_retrieve(jnp.float32(0), db)
+    matches, c0g, c1g = jax.jit(
+        lambda kp, a, b: f_match(jnp.float32(0), kp, a, b)
+    )(kp_all, qi, mi)
+    idx = jnp.clip(matches.idx0, 0, c1g.shape[1] - 1)
+    mk1 = jnp.take_along_axis(c1g, idx[..., None], axis=1)
+    jax.block_until_ready(mk1)
+
+    K_m = match_top_k or max_kpts
+    t_gray = timed(
+        "grayscale", f_gray, lambda o: jnp.sum(o[0]), (images_dev,),
+        reps=128, float_eps=False,
+    )
+    t_detect = timed(
+        "detect", f_detect, lambda o: jnp.sum(o.scores), (gray,), reps=8
+    )
+    t_encode = timed(
+        "encode", f_encode, lambda o: jnp.sum(o), (images_dev,),
+        reps=16, float_eps=False,
+    )
+    t_retrieve = timed(
+        "retrieve", f_retrieve, lambda o: jnp.sum(o[2]), (db,), reps=32
+    )
+    t_match = timed(
+        "match",
+        lambda eps, kp, a, b: f_match(eps, kp, a, b),
+        lambda o: jnp.sum(o[0].scores),
+        (kp_all, qi, mi),
+        reps=4,
+    )
+    t_ransac = timed(
+        "ransac", f_ransac, lambda o: jnp.sum(o), (c0g, mk1, matches.valid),
+        reps=8,
+    )
+
+    stages = [
+        rl.StageRoofline(
+            "grayscale", t_gray,
+            n * h8 * w8 * 10.0,
+            rl.grayscale_bytes(n, res_h, res_w, h8, w8),
+        ),
+        rl.StageRoofline(
+            "detect", t_detect,
+            n * superpoint_flops(h8, w8),
+            rl.superpoint_bytes(n, h8, w8, max_keypoints=max_kpts),
+        ),
+        rl.StageRoofline(
+            "encode", t_encode,
+            n * rl.resnet50_stage3_flops(in_h, in_w),
+            rl.resnet50_stage3_bytes(n, in_h, in_w)
+            + n * (res_h * res_w + in_h * in_w * 3 * 4.0),
+        ),
+        rl.StageRoofline(
+            "retrieve", t_retrieve,
+            rl.retrieval_flops(n, D_vpr),
+            rl.retrieval_bytes(n, D_vpr, k),
+        ),
+        rl.StageRoofline(
+            "match", t_match,
+            M * matcher_flops(K_m, m_cfg.dim, m_cfg.depth),
+            rl.matcher_stage_bytes(
+                M, K_m, m_cfg.dim, m_cfg.depth, m_cfg.num_heads
+            ),
+        ),
+        rl.StageRoofline(
+            "ransac", t_ransac,
+            rl.ransac_flops(M, K_m, pipe.num_hypotheses),
+            rl.ransac_bytes(M, K_m, pipe.num_hypotheses),
+        ),
+    ]
+    print(rl.format_table(stages), file=sys.stderr, flush=True)
+
+    # the fused mega program at the same shapes, for the fusion delta
+    budget = res0.verified or 1
+    mega_best = None
+    for _ in range(3):
+        pipe.spr.vpr.descriptors = []
+        pipe.spr.vpr._matrix_cache = None
+        r = pipe.process(
+            images_dev, timestamps, floors, K,
+            encode_batch_size=128, survivor_budget=budget, monolithic=True,
+        )
+        if mega_best is None or r.elapsed_s < mega_best:
+            mega_best = r.elapsed_s
+    sum_stages = sum(st.seconds for st in stages)
+    total_flops = sum(st.flops for st in stages)
+    total_bytes = sum(st.bytes for st in stages)
+    mfu_mega = total_flops / mega_best / rl.V5E_PEAK_BF16
+    hbm_frac_weighted = sum(
+        st.seconds * st.frac_hbm for st in stages
+    ) / sum_stages
+    mem_bound_time = sum(
+        st.seconds for st in stages if st.bound == "HBM"
+    )
+    print(
+        f"[roofline] sum-of-stages {sum_stages:.3f}s vs mega {mega_best:.3f}s "
+        f"(fusion/overlap delta {sum_stages / mega_best:.2f}x); "
+        f"mega MFU {mfu_mega:.3f}; HBM-bound stages hold "
+        f"{mem_bound_time / sum_stages:.1%} of stage time",
+        file=sys.stderr, flush=True,
+    )
+    return {
+        "metric": "roofline_mem_bound_time_fraction"
+        + ("_fullres" if fullres else ""),
+        "value": round(mem_bound_time / sum_stages, 3),
+        "unit": "fraction",
+        "vs_baseline": round(mfu_mega, 4),
+        "mega_seconds": round(mega_best, 3),
+        "sum_stage_seconds": round(sum_stages, 3),
+        "modeled_tflops_at_mega": round(total_flops / mega_best / 1e12, 1),
+        "modeled_gbytes": round(total_bytes / 1e9, 1),
+        "time_weighted_hbm_frac": round(hbm_frac_weighted, 3),
+        "survivor_slots": M,
+        "stages": {st.name: st.row() for st in stages},
+    }
+
+
 def bench_quality() -> dict:
     """Gate DECISION quality (not throughput): loop-closure F1 of the full
     gate on the synthetic multi-floor scene with known ground truth
@@ -413,6 +745,7 @@ def bench_quality_v2() -> dict:
     )
     from mlis_tpu.models.weights import (
         default_loftr_checkpoint,
+        default_parallax_matcher_checkpoint,
         default_superglue_checkpoint,
     )
 
@@ -420,6 +753,10 @@ def bench_quality_v2() -> dict:
         int(s)
         for s in os.environ.get("MLIS_QUALITY_SEEDS", "0,1,2").split(",")
     ]
+    # the LightGlue rows run the PARALLAX-trained checkpoint when shipped
+    # (pretrain_matcher --parallax — the v2 scene's own two-view
+    # distribution); falls back to the homography-trained default
+    lg_weights = default_parallax_matcher_checkpoint()
     top_k, thr = 16, 0.30  # the v2 retrieval protocol (BENCH_NOTES r4)
     families = ["trained", "orb"]
     if default_superglue_checkpoint():
@@ -441,6 +778,7 @@ def bench_quality_v2() -> dict:
             out = run_gate_quality(
                 fam, scene=scenes[seed], encoder="trained_vpr_v2",
                 top_k=top_k, similarity_threshold=thr, verify_batch=vb,
+                weights_path=lg_weights if fam == "trained" else None,
             )
             f1s.append(out["f1"])
             precs.append(out["precision"])
@@ -460,7 +798,7 @@ def bench_quality_v2() -> dict:
     no_gate = run_gate_quality(
         "trained", scene=scenes[seeds[0]], encoder="trained_vpr_v2",
         top_k=top_k, similarity_threshold=thr, verify_batch=256,
-        floor_gate=False,
+        floor_gate=False, weights_path=lg_weights,
     )
     rows["f1_no_floor_gate"] = round(no_gate["f1"], 3)
     rows["precision_no_floor_gate"] = round(no_gate["precision"], 3)
@@ -504,11 +842,11 @@ def bench_quality_v2() -> dict:
         # END-decision value of the rerank (round-3 verdict Missing #3)
         eb_off = run_gate_quality_rerank(
             sc0, rerank=False, crica=crica, top_k=top_k,
-            similarity_threshold=thr,
+            similarity_threshold=thr, weights_path=lg_weights,
         )
         eb_on = run_gate_quality_rerank(
             sc0, rerank=True, crica=crica, top_k=top_k,
-            similarity_threshold=thr,
+            similarity_threshold=thr, weights_path=lg_weights,
         )
         rows["f1_crica_rerank_off"] = round(eb_off["f1"], 3)
         rows["f1_crica_rerank_on"] = round(eb_on["f1"], 3)
@@ -913,6 +1251,8 @@ def main():
         out = bench_sweep()
     elif mode == "fullres":
         out = bench_full_gate(fullres=True)
+    elif mode == "roofline":
+        out = bench_roofline()
     elif mode == "quality":
         out = bench_quality()
     elif mode == "quality2":

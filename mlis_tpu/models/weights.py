@@ -93,6 +93,19 @@ def default_fullres_matcher_checkpoint() -> str | None:
     ) or default_matcher_checkpoint()
 
 
+def default_parallax_matcher_checkpoint() -> str | None:
+    """Path of the shipped PARALLAX-trained LightGlue checkpoint
+    (`pretrain_matcher --parallax`: layered SE(3) pairs with
+    occlusion-aware GT — the v2 GT scene's two-view distribution,
+    train/matcher_trainer.render_layered_pair), or the homography-trained
+    default. The v2 decision-quality bench (bench.py quality2) prefers
+    this checkpoint; the v1 homography scene keeps the homography-trained
+    default."""
+    return _shipped_checkpoint(
+        "lightglue_parallax_sp.npz"
+    ) or default_matcher_checkpoint()
+
+
 def default_loftr_checkpoint() -> str | None:
     """Path of the shipped in-env-trained LoFTR checkpoint
     (train/pretrain_loftr.py homography self-supervision), or None.

@@ -137,6 +137,57 @@ def test_fullres_default_lookup():
         assert got == default_matcher_checkpoint()
 
 
+# -- parallax-trained checkpoint (lightglue_parallax_sp.npz) -------------------
+
+CKPT_PARALLAX = os.path.join(_CKPT_DIR, "lightglue_parallax_sp.npz")
+
+
+def test_parallax_default_lookup():
+    """The v2 quality protocol prefers the parallax-trained checkpoint
+    and falls back to the homography-trained default when absent."""
+    from mlis_tpu.models.weights import (
+        default_matcher_checkpoint,
+        default_parallax_matcher_checkpoint,
+    )
+
+    got = default_parallax_matcher_checkpoint()
+    if os.path.exists(CKPT_PARALLAX):
+        assert got.endswith("lightglue_parallax_sp.npz")
+    else:
+        assert got == default_matcher_checkpoint()
+
+
+def test_parallax_checkpoint_meets_recall_milestone():
+    """Held-out recall on layered SE(3) pairs with occlusion-aware GT
+    (MatcherTrainer.parallax_match_metrics — the v2 GT scene's two-view
+    distribution) for the shipped parallax-trained checkpoint. The
+    homography-trained default is the comparison floor: parallax
+    training must beat it on its own distribution."""
+    if not os.path.exists(CKPT_PARALLAX):
+        pytest.skip("parallax matcher checkpoint not present")
+    from mlis_tpu.train.matcher_trainer import MatcherTrainer
+
+    hw = (270, 360)
+    key = jax.random.PRNGKey(777)
+
+    lg = _build()
+    lg.load_weights(CKPT_PARALLAX, image_hw=hw)
+    par = MatcherTrainer(lg, hw, pair_mode="parallax").parallax_match_metrics(
+        n_pairs=8, key=key
+    )
+
+    lg_h = _build()
+    lg_h.load_weights(CKPT_SP, image_hw=hw)
+    homog = MatcherTrainer(
+        lg_h, hw, pair_mode="parallax"
+    ).parallax_match_metrics(n_pairs=8, key=key)
+
+    # pinned milestone (save-time TPU recall 0.58+; margin for CPU
+    # numerics and the 8-pair sample)
+    assert par["recall"] >= 0.35, par
+    assert par["recall"] > homog["recall"], (par, homog)
+
+
 @pytest.mark.slow
 def test_fullres_checkpoint_meets_recall_milestone():
     """540x720/1024-kpt held-out homography recall >= 0.6 (save-time TPU
