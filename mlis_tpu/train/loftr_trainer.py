@@ -36,6 +36,7 @@ from mlis_tpu.models.loftr import LoFTR, fine_refine
 from mlis_tpu.train.matcher_trainer import (
     apply_homography,
     random_homography,
+    render_layered_pair,
     synthetic_textures,
     warp_image,
 )
@@ -68,6 +69,45 @@ def coarse_gt_cells(
     )
     idx1 = jnp.clip(ty, 0, hc - 1) * wc + jnp.clip(tx, 0, wc - 1)
     return idx1, inb, proj
+
+
+def coarse_gt_cells_parallax(
+    lid0: jnp.ndarray,  # (H, W) int32 per-pixel layer in view 0
+    lid1: jnp.ndarray,  # (H, W) int32 per-pixel layer in view 1 (-1=none)
+    Hs: jnp.ndarray,  # (L, 3, 3) per-layer plane-induced homographies
+    hc: int,
+    wc: int,
+    image_hw: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense coarse GT for a layered SE(3) pair (render_layered_pair):
+    each image0 cell center projects through ITS OWN layer's plane
+    homography and is supervisable only where that layer is on top
+    (unoccluded, in view) at the projection — the dense analogue of
+    matcher_trainer.gt_assignment_parallax. Same returns as
+    coarse_gt_cells."""
+    H, W = image_hw
+    cy, cx = jnp.meshgrid(jnp.arange(hc), jnp.arange(wc), indexing="ij")
+    centers = jnp.stack(
+        [cx.reshape(-1) * 8.0 + 3.5, cy.reshape(-1) * 8.0 + 3.5], axis=-1
+    )  # (N, 2) xy
+    xi0 = jnp.clip(jnp.round(centers[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi0 = jnp.clip(jnp.round(centers[:, 1]).astype(jnp.int32), 0, H - 1)
+    layer = lid0[yi0, xi0]  # (N,)
+    proj = jax.vmap(lambda Hm, p: apply_homography(Hm, p[None])[0])(
+        Hs[layer], centers
+    )  # (N, 2) in image1 px
+    tx = jnp.round((proj[:, 0] - 3.5) / 8.0).astype(jnp.int32)
+    ty = jnp.round((proj[:, 1] - 3.5) / 8.0).astype(jnp.int32)
+    inb = (
+        (proj[:, 0] >= 0.0) & (proj[:, 0] <= W - 1.0)
+        & (proj[:, 1] >= 0.0) & (proj[:, 1] <= H - 1.0)
+        & (tx >= 0) & (tx < wc) & (ty >= 0) & (ty < hc)
+    )
+    xi1 = jnp.clip(jnp.round(proj[:, 0]).astype(jnp.int32), 0, W - 1)
+    yi1 = jnp.clip(jnp.round(proj[:, 1]).astype(jnp.int32), 0, H - 1)
+    visible = lid1[yi1, xi1] == layer  # occlusion-aware
+    idx1 = jnp.clip(ty, 0, hc - 1) * wc + jnp.clip(tx, 0, wc - 1)
+    return idx1, inb & visible, proj
 
 
 def loftr_loss(
@@ -143,6 +183,9 @@ class LoFTRTrainer:
         fine_weight: float = 0.25,
         seed: int = 0,
         optimizer: optax.GradientTransformation | None = None,
+        pair_mode: str = "homography",  # or "parallax": layered SE(3)
+        # pairs with occlusion-aware dense GT (render_layered_pair +
+        # coarse_gt_cells_parallax — the v2 GT scene's distribution)
     ):
         H, W = int(image_hw[0]), int(image_hw[1])
         if H % 8 or W % 8:
@@ -155,6 +198,7 @@ class LoFTRTrainer:
             )
         self.matcher = matcher
         self.image_hw = (H, W)
+        self.pair_mode = pair_mode
         self.max_corner_jitter = float(max_corner_jitter)
         self.fine_weight = float(fine_weight)
         self.optimizer = optimizer or optax.chain(
@@ -172,19 +216,38 @@ class LoFTRTrainer:
         jitter = self.max_corner_jitter
         fine_weight = self.fine_weight
 
+        parallax = self.pair_mode == "parallax"
+
         def step(params, opt_state, images, key):
             B = images.shape[0]
             hkeys = jax.random.split(key, B)
-            Hms = jax.vmap(lambda k: random_homography(k, H, W, jitter))(hkeys)
-            warped = jax.vmap(warp_image)(images, Hms)
+            if parallax:
+                # images arg only sets the batch size: the layered pairs
+                # synthesize their own textures (fresh every step)
+                img0, warped, lid0, lid1, Hs_all = jax.vmap(
+                    lambda k: render_layered_pair(k, H, W)
+                )(hkeys)
+            else:
+                Hms = jax.vmap(
+                    lambda k: random_homography(k, H, W, jitter)
+                )(hkeys)
+                img0 = images
+                warped = jax.vmap(warp_image)(images, Hms)
 
             def loss_fn(p):
                 t0, t1, f0, f1, (hc, wc) = matcher.net.apply(
-                    p, images[..., None], warped[..., None]
+                    p, img0[..., None], warped[..., None]
                 )
-                idx1, valid, target = jax.vmap(
-                    lambda Hm: coarse_gt_cells(Hm, hc, wc, (H, W))
-                )(Hms)
+                if parallax:
+                    idx1, valid, target = jax.vmap(
+                        lambda l0, l1, Hl: coarse_gt_cells_parallax(
+                            l0, l1, Hl, hc, wc, (H, W)
+                        )
+                    )(lid0, lid1, Hs_all)
+                else:
+                    idx1, valid, target = jax.vmap(
+                        lambda Hm: coarse_gt_cells(Hm, hc, wc, (H, W))
+                    )(Hms)
                 return loftr_loss(
                     t0, t1, f0, f1, idx1, valid, target,
                     (hc, wc), cfg.temperature, cfg.fine_window, fine_weight,
@@ -230,13 +293,67 @@ class LoFTRTrainer:
     def save_checkpoint(self, path: str) -> None:
         self.matcher.save_weights(path)
 
+    def parallax_match_metrics(
+        self, n_pairs: int = 8, key=None, threshold_px: float = 4.0
+    ) -> dict:
+        """Held-out diagnostics on fresh LAYERED SE(3) pairs through the
+        full inference path: a prediction is correct when it lands within
+        threshold_px of the point projected through its OWN layer's
+        homography AND that layer is visible (on top) there."""
+        key = key if key is not None else jax.random.PRNGKey(991)
+        H, W = self.image_hw
+        img0, img1, lid0, lid1, Hs_all = jax.vmap(
+            lambda k: render_layered_pair(k, H, W)
+        )(jax.random.split(key, n_pairs))
+        m = self.matcher.match_batch(img0[..., None], img1[..., None])
+
+        def per_image(k0, l0, l1, Hs):
+            xi = jnp.clip(jnp.round(k0[:, 0]).astype(jnp.int32), 0, W - 1)
+            yi = jnp.clip(jnp.round(k0[:, 1]).astype(jnp.int32), 0, H - 1)
+            layer = l0[yi, xi]
+            proj = jax.vmap(
+                lambda Hm, p: apply_homography(Hm, p[None])[0]
+            )(Hs[layer], k0)
+            xp = jnp.clip(jnp.round(proj[:, 0]).astype(jnp.int32), 0, W - 1)
+            yp = jnp.clip(jnp.round(proj[:, 1]).astype(jnp.int32), 0, H - 1)
+            vis = (
+                (proj[:, 0] >= 0) & (proj[:, 0] <= W - 1)
+                & (proj[:, 1] >= 0) & (proj[:, 1] <= H - 1)
+                & (l1[yp, xp] == layer)
+            )
+            return proj, vis
+
+        proj, vis = jax.vmap(per_image)(m.kpts0, lid0, lid1, Hs_all)
+        err = jnp.linalg.norm(m.kpts1 - proj, axis=-1)
+        correct = m.valid & vis & (err <= threshold_px)
+        hc, wc = H // 8, W // 8
+        _, gt_vis, _ = jax.vmap(
+            lambda l0, l1, Hl: coarse_gt_cells_parallax(
+                l0, l1, Hl, hc, wc, (H, W)
+            )
+        )(lid0, lid1, Hs_all)
+        n_pred = jnp.maximum((m.valid & vis).sum(), 1)
+        n_vis = jnp.maximum(gt_vis.sum(), 1)
+        return {
+            "precision": float(correct.sum() / n_pred),
+            "recall": float(correct.sum() / n_vis),
+            "n_pred": int((m.valid & vis).sum()),
+            "n_gt": int(gt_vis.sum()),
+        }
+
     def match_metrics(
         self, images: np.ndarray, key=None, threshold_px: float = 4.0
     ) -> dict:
         """Held-out diagnostics through the FULL inference path
         (match_batch: coarse dual-softmax -> mutual top-M -> fine refine):
         precision = predicted matches within threshold_px of the GT
-        projection; recall = correct predictions / visible coarse cells."""
+        projection; recall = correct predictions / visible coarse cells.
+        In parallax mode, evaluates on the training pair distribution
+        (layered SE(3) pairs) instead."""
+        if self.pair_mode == "parallax":
+            return self.parallax_match_metrics(
+                n_pairs=int(len(images)), key=key, threshold_px=threshold_px
+            )
         key = key if key is not None else jax.random.PRNGKey(999)
         H, W = self.image_hw
         imgs = jnp.asarray(images)

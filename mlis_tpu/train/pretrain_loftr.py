@@ -36,13 +36,25 @@ def main(argv=None) -> dict:
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--eval-batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default="checkpoints/loftr_homog.npz")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--init-from", help="warm-start from a save_weights npz")
     ap.add_argument(
         "--tiny", action="store_true",
         help="tiny model + small images (CPU smoke test of the driver)",
     )
+    ap.add_argument(
+        "--parallax", action="store_true",
+        help="train on layered-scene SE(3) pairs with occlusion-aware "
+        "dense GT (coarse_gt_cells_parallax) instead of single "
+        "homographies — the v2 GT scene's two-view distribution",
+    )
     args = ap.parse_args(argv)
+    if args.out is None:
+        args.out = (
+            "checkpoints/loftr_parallax.npz"
+            if args.parallax
+            else "checkpoints/loftr_homog.npz"
+        )
     if args.tiny:
         args.height, args.width = 64, 96
         args.eval_batch = 4
@@ -71,7 +83,8 @@ def main(argv=None) -> dict:
     )
     optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(schedule))
     trainer = LoFTRTrainer(
-        lf, (args.height, args.width), optimizer=optimizer, seed=args.seed
+        lf, (args.height, args.width), optimizer=optimizer, seed=args.seed,
+        pair_mode="parallax" if args.parallax else "homography",
     )
 
     eval_imgs = np.asarray(
@@ -84,7 +97,7 @@ def main(argv=None) -> dict:
     history = {
         "config": {k: getattr(args, k.replace("-", "_")) for k in (
             "steps", "chunk", "batch", "height", "width",
-            "peak_lr", "warmup", "seed",
+            "peak_lr", "warmup", "seed", "parallax",
         )},
     }
 

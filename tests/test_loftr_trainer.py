@@ -9,7 +9,11 @@ import numpy as np
 import pytest
 
 from mlis_tpu.models.loftr import LoFTR, LoFTRConfig
-from mlis_tpu.train.loftr_trainer import LoFTRTrainer, coarse_gt_cells
+from mlis_tpu.train.loftr_trainer import (
+    LoFTRTrainer,
+    coarse_gt_cells,
+    coarse_gt_cells_parallax,
+)
 from mlis_tpu.train.matcher_trainer import synthetic_textures
 
 
@@ -44,6 +48,56 @@ def test_coarse_gt_translation():
     for y in range(hc):
         for x in range(wc - 2):
             assert tgt[y, x] == y * wc + x + 2
+
+
+def test_coarse_gt_parallax_occlusion_aware():
+    """Dense analogue of the matcher trainer's occlusion test: far-layer
+    cells project through the FAR plane's homography and are excluded
+    where the near layer covers the projection in view 1."""
+    import jax.numpy as jnp
+
+    H, W = 32, 64
+    hc, wc = H // 8, W // 8
+    lid0 = jnp.ones((H, W), jnp.int32)  # view 0 is all far layer (1)
+    # near layer (0) covers the left half of view 1 only
+    lid1 = jnp.where(
+        jnp.arange(W)[None, :] < W // 2, 0, 1
+    ) * jnp.ones((H, 1), jnp.int32)
+    H_far = jnp.asarray([[1.0, 0, 8.0], [0, 1, 0], [0, 0, 1]])
+    H_near = jnp.asarray([[1.0, 0, 20.0], [0, 1, 0], [0, 0, 1]])
+    Hs = jnp.stack([H_near, H_far])
+
+    idx1, valid, proj = coarse_gt_cells_parallax(
+        lid0, lid1, Hs, hc, wc, (H, W)
+    )
+    v = np.asarray(valid).reshape(hc, wc)
+    tgt = np.asarray(idx1).reshape(hc, wc)
+    # columns: center x = 8c + 3.5, projected x = 8c + 11.5 -> target
+    # cell c+1. Supervisable iff the projection is in-bounds
+    # (8c + 11.5 <= 63, excluding c=7 which lands at 67.5) AND the far
+    # layer is on top there (right half: 8c + 11.5 >= W/2 -> c >= 3).
+    for c in range(wc):
+        expect = W // 2 <= (8 * c + 11.5) <= W - 1
+        assert v[:, c].all() == expect, (c, v[:, c])
+        if expect:
+            assert (tgt[:, c] == np.arange(hc) * wc + c + 1).all()
+    # sanity: projections follow the FAR homography everywhere
+    px = np.asarray(proj)[:, 0].reshape(hc, wc)
+    np.testing.assert_allclose(
+        px, (np.arange(wc) * 8.0 + 11.5)[None].repeat(hc, 0), atol=1e-5
+    )
+
+
+def test_parallax_training_step_runs():
+    """pair_mode='parallax' trains end-to-end on layered pairs and the
+    held-out metrics route to parallax_match_metrics."""
+    lf = LoFTR(LoFTRConfig.tiny_test())
+    trainer = LoFTRTrainer(lf, (64, 96), learning_rate=3e-4, seed=0,
+                           pair_mode="parallax")
+    losses = trainer.train_chunk(4, batch_size=2)
+    assert np.isfinite(losses).all()
+    m = trainer.parallax_match_metrics(n_pairs=2)
+    assert 0.0 <= m["recall"] <= 1.0 and m["n_gt"] > 0
 
 
 def test_loftr_training_improves_recall():
