@@ -745,7 +745,9 @@ def bench_quality_v2() -> dict:
     )
     from mlis_tpu.models.weights import (
         default_loftr_checkpoint,
+        default_parallax_loftr_checkpoint,
         default_parallax_matcher_checkpoint,
+        default_parallax_superglue_checkpoint,
         default_superglue_checkpoint,
     )
 
@@ -759,10 +761,13 @@ def bench_quality_v2() -> dict:
     lg_weights = default_parallax_matcher_checkpoint()
     top_k, thr = 16, 0.30  # the v2 retrieval protocol (BENCH_NOTES r4)
     families = ["trained", "orb"]
+    fam_weights = {"trained": lg_weights}
     if default_superglue_checkpoint():
         families.insert(1, "superglue")
+        fam_weights["superglue"] = default_parallax_superglue_checkpoint()
     if default_loftr_checkpoint():
         families.append("loftr")
+        fam_weights["loftr"] = default_parallax_loftr_checkpoint()
 
     rows: dict = {}
     scenes = {}
@@ -778,7 +783,7 @@ def bench_quality_v2() -> dict:
             out = run_gate_quality(
                 fam, scene=scenes[seed], encoder="trained_vpr_v2",
                 top_k=top_k, similarity_threshold=thr, verify_batch=vb,
-                weights_path=lg_weights if fam == "trained" else None,
+                weights_path=fam_weights.get(fam),
             )
             f1s.append(out["f1"])
             precs.append(out["precision"])

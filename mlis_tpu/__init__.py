@@ -23,10 +23,33 @@ import os as _os
 # The env var alone is not enough when jax was imported before mlis_tpu
 # (jax snapshots config env at its own import) — update the live config
 # too, so CPU test processes actually persist their compiles.
+# The cache dir is keyed by the HOST CPU's microarchitecture: XLA:CPU
+# entries are AOT artifacts specialized to the compile machine's ISA
+# features, and loading one on a host with a different feature set
+# SEGFAULTS in the cache read (observed when this VM migrated between
+# machine types — the cached +amx/+prefer-no-scatter code crashed the
+# new host). A per-µarch subdir makes stale entries unreachable instead
+# of fatal.
+def _host_cpu_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
 if _os.environ.get("MLIS_COMPILE_CACHE", "1") != "0":
     _cache_dir = _os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/mlis_tpu/jax"),
+        _os.path.expanduser(f"~/.cache/mlis_tpu/jax-{_host_cpu_tag()}"),
     )
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     try:

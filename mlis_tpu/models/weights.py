@@ -84,10 +84,10 @@ def default_fullres_matcher_checkpoint() -> str | None:
     lightglue_homog_sp_fullres.npz is trained at 540x720 with a
     1024-keypoint budget (`pretrain_matcher --height 540 --width 720
     --kpts 1024 --init-from lightglue_homog_sp.npz --sp-init ...`);
-    on the GT quality scene at 540x720 it measures mean F1 0.93 vs 0.75
-    for the half-res-trained default (BENCH_NOTES "Fullres-trained
-    matcher"), closing the same train/eval resolution gap LoFTR v2
-    closed at 256x320."""
+    on the GT quality scene at 540x720 it measures mean F1 0.955 over
+    seeds 0-5 vs 0.794 for the half-res-trained default (BENCH_NOTES
+    "Fullres-trained matcher"), closing the same train/eval resolution
+    gap LoFTR v2 closed at 256x320."""
     return _shipped_checkpoint(
         "lightglue_homog_sp_fullres.npz"
     ) or default_matcher_checkpoint()
@@ -127,6 +127,28 @@ def default_superglue_checkpoint() -> str | None:
     """Path of the shipped in-env-trained SuperGlue (Sinkhorn-dustbin
     head) checkpoint (`pretrain_matcher --arch superglue`), or None."""
     return _shipped_checkpoint("superglue_homog.npz")
+
+
+def default_parallax_superglue_checkpoint() -> str | None:
+    """Path of the shipped PARALLAX-trained SuperGlue checkpoint
+    (`pretrain_matcher --arch superglue --parallax`), or the
+    homography-trained default. Used by the v2 decision-quality bench
+    (parallax scene distribution); the v1 scene keeps the homography
+    checkpoint."""
+    return _shipped_checkpoint(
+        "superglue_parallax.npz"
+    ) or default_superglue_checkpoint()
+
+
+def default_parallax_loftr_checkpoint() -> str | None:
+    """Path of the shipped PARALLAX-trained LoFTR checkpoint
+    (`pretrain_loftr --parallax`: layered SE(3) pairs with
+    occlusion-aware dense coarse GT), or the homography-trained default.
+    Used by the v2 decision-quality bench; the v1 scene keeps the
+    homography checkpoint."""
+    return _shipped_checkpoint(
+        "loftr_parallax.npz"
+    ) or default_loftr_checkpoint()
 
 
 def matcher_arch_from_npz(path: str) -> Dict[str, int]:
