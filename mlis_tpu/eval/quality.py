@@ -48,6 +48,31 @@ class QualityScene:
     K: np.ndarray  # 3x3 intrinsics for the verifier
 
 
+def _render_on_host_cpu(fn):
+    """Pin a GT-scene builder's jax ops to the host CPU backend.
+
+    Scene construction is numpy-scale work (procedural textures, blob
+    masks, a few hundred 270x360 warps) but written in jax — on the
+    remote TPU every eager op and every `np.asarray` fetch pays a tunnel
+    round-trip (the per-place `_blob_mask` loop alone is ~64 RTTs), so a
+    scene that renders in seconds locally takes many minutes through the
+    tunnel. The gate under measurement still runs on the default (TPU)
+    device; only GT rendering is forced local."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return fn(*args, **kwargs)
+        with jax.default_device(cpu):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_render_on_host_cpu
 def make_quality_scene(
     n_places: int = 8,
     hw: Tuple[int, int] = (270, 360),
@@ -149,6 +174,7 @@ def _blob_mask(key, H: int, W: int, coverage: float, block: int = 40
     return (up >= thr).astype(jnp.float32)
 
 
+@_render_on_host_cpu
 def make_quality_scene_v2(
     n_floors: int = 4,
     n_places: int = 32,
