@@ -827,6 +827,13 @@ def bench_quality_v2() -> dict:
     mv = load_mixvpr_vpr()
     if mv is not None:
         encs["mixvpr_trained"] = mv.encode_batch_device
+    # round-5: the remaining two reference VPR encoders
+    # (place_recognition.py:335-410 SALAD, :413-505 AnyLoc), in-env
+    # trained/fitted (pretrain_vpr --arch salad / --arch anyloc)
+    for arch in ("salad", "anyloc"):
+        e = load_encoder(arch=arch)
+        if e is not None:
+            encs[arch] = e
     for name, e in encs.items():
         m = retrieval_metrics(sc0, e, top_k=top_k, threshold=thr)
         rows[f"rr_{name}"] = round(m["retrieval_recall"], 3)
@@ -855,6 +862,27 @@ def bench_quality_v2() -> dict:
         )
         rows["f1_crica_rerank_off"] = round(eb_off["f1"], 3)
         rows["f1_crica_rerank_on"] = round(eb_on["f1"], 3)
+
+    # the rerank mechanism measured on a backbone with REAL held-out
+    # recall (round-4 verdict task 2): patch-correlation rerank over the
+    # parallax-trained tiny encoder (vpr_tiny_v2, held-out recall 0.64)
+    # instead of the data-starved from-scratch ViT-B (recall 0.203)
+    from mlis_tpu.train.pretrain_vpr import load_crica_tiny_vpr
+
+    ct = load_crica_tiny_vpr()
+    if ct is not None:
+        m_off = retrieval_metrics(
+            sc0, ct, top_k=top_k, threshold=thr, rerank=False
+        )
+        m_on = retrieval_metrics(
+            sc0, ct, top_k=top_k, threshold=thr, rerank=True
+        )
+        rows["rr_crica_tiny"] = round(m_off["retrieval_recall"], 3)
+        rows["rr_crica_tiny_rerank"] = round(m_on["retrieval_recall"], 3)
+        rows["aliased_rate_crica_tiny"] = round(m_off["aliased_rate"], 3)
+        rows["aliased_rate_crica_tiny_rerank"] = round(
+            m_on["aliased_rate"], 3
+        )
 
     headline = rows.get("f1_trained", 0.0)
     return {

@@ -3,8 +3,8 @@ in ONE process (static shapes -> one compile per family; per-seed cost
 after warmup is seconds, so an 8-seed sweep is tractable through the
 tunnel where 8 bench.py invocations would not be).
 
-The committed scoreboard (BENCH_NOTES + results/quality_v2_scoreboard
-.json) comes from running this on the chip:
+Writes results/quality_v2_scoreboard.json (+ prints a family summary).
+The committed scoreboard is produced by running this on the chip:
 
     python experiments/v2_scoreboard.py --seeds 0,1,2,3,4,5,6,7
 

@@ -64,7 +64,7 @@ def _render_on_host_cpu(fn):
     def wrapped(*args, **kwargs):
         try:
             cpu = jax.local_devices(backend="cpu")[0]
-        except RuntimeError:
+        except (RuntimeError, IndexError):
             return fn(*args, **kwargs)
         with jax.default_device(cpu):
             return fn(*args, **kwargs)

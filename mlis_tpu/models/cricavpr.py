@@ -40,6 +40,7 @@ class CricaVPR(JaxEncoderVPR):
         vit_cfg: Optional[ViTConfig] = None,
         rerank_weight: float = 0.5,
         input_size=None,
+        imagenet_preproc: bool = True,
         **kw,
     ):
         super().__init__(descriptor_dim=descriptor_dim, seed=seed)
@@ -47,6 +48,15 @@ class CricaVPR(JaxEncoderVPR):
             self.input_size = tuple(input_size)
         self.use_reranking = use_reranking
         self.rerank_weight = rerank_weight
+        # imagenet_preproc=False: plain resize + channel-replicate + /255,
+        # matching train/pretrain_vpr._make_apply's non-imagenet path —
+        # required when the backbone is an in-env-trained encoder (e.g.
+        # the parallax-trained tiny ViT) whose training never saw ImageNet
+        # normalization. The descriptor path (GeM p=3 + L2) is identical
+        # to the trainer's, so global scores match the trained encoder
+        # exactly and the rerank's patch correlation runs on the SAME
+        # trained features.
+        self.imagenet_preproc = imagenet_preproc
         cfg = vit_cfg or ViTConfig.dinov2_vitb14()
         self.module = ViT(cfg)
         dummy = jnp.zeros((1, *self.input_size, 3), jnp.float32)
@@ -66,10 +76,24 @@ class CricaVPR(JaxEncoderVPR):
     def _forward(self, params, images):
         return self._forward_full(params, images)[0]
 
+    def _preprocess_plain(self, images) -> jnp.ndarray:
+        x = jnp.asarray(images).astype(jnp.float32)
+        if x.ndim == 4:
+            x = x.mean(-1)
+        x = jax.image.resize(
+            x / 255.0, (x.shape[0],) + tuple(self.input_size),
+            method="linear",
+        )
+        return jnp.repeat(x[..., None], 3, axis=-1)
+
     def encode_batch_device(self, images) -> jnp.ndarray:
         if self._jit_full is None:
             self._jit_full = jax.jit(self._forward_full)
-        x = preprocess_imagenet(jnp.asarray(images), self.input_size)
+        x = (
+            preprocess_imagenet(jnp.asarray(images), self.input_size)
+            if self.imagenet_preproc
+            else self._preprocess_plain(images)
+        )
         desc, patches = self._jit_full(self.params, x)
         # keep patch features DEVICE-RESIDENT: downloading (B, 529, 768)
         # through the TPU tunnel costs seconds per batch, and the rerank

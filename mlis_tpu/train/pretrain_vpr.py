@@ -48,6 +48,8 @@ ENC_HW = (64, 96)
 DEFAULT_CKPT = "checkpoints/vpr_tiny.npz"
 CRICA_CKPT = "checkpoints/vpr_crica.npz"
 MIXVPR_CKPT = "checkpoints/vpr_mixvpr.npz"
+SALAD_CKPT = "checkpoints/vpr_salad.npz"
+ANYLOC_CKPT = "checkpoints/vpr_anyloc.npz"
 MIXVPR_HW = (320, 320)  # MixVPR's input contract (reference :308-332)
 # CricaVPR's input contract: 322x322 (14-divisible; 23x23 patch grid) —
 # reference place_recognition.py:781-803
@@ -75,6 +77,27 @@ def _build_model(seed: int = 0, arch: str = "tiny"):
         params = model.init(
             jax.random.PRNGKey(seed),
             jnp.zeros((1, *MIXVPR_HW, 3), jnp.float32),
+        )
+        return model, params
+    if arch == "salad":
+        # FULL-architecture SALAD head (Sinkhorn-OT patch-to-cluster
+        # aggregation + dustbin + global-token branch, models/salad.py —
+        # reference place_recognition.py:335-410) on a small in-env-
+        # trainable ViT backbone: the head is the method; ViT-B/14 from
+        # scratch is not learnable at this budget (the CricaVPR negative
+        # result, checkpoints/vpr_crica_log.json), so the backbone is
+        # scaled like vpr_tiny was.
+        from mlis_tpu.models.salad import SALADModule
+
+        cfg = ViTConfig(
+            dim=128, depth=4, num_heads=4, patch_size=8, pos_grid=12
+        )
+        model = SALADModule(
+            cfg, num_clusters=16, cluster_dim=32, token_dim=64
+        )
+        params = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, *ENC_HW, 3), jnp.float32),
         )
         return model, params
     if arch == "cricavpr":
@@ -281,6 +304,23 @@ def heldout_recall(apply_fn, params, n_places: int = 32,
     return float((place[nn1] == place).mean())
 
 
+def _anyloc_apply(model, centers, enc_hw=ENC_HW) -> Callable:
+    """AnyLoc descriptor fn: trained-backbone patch features -> hard-
+    assignment VLAD over a fitted vocabulary (models/anyloc.py semantics;
+    reference place_recognition.py:413-505)."""
+    from mlis_tpu.ops.pooling import vlad_aggregate
+
+    def apply_fn(p, x):
+        xr = jax.image.resize(
+            x, (x.shape[0],) + tuple(enc_hw), method="linear"
+        )
+        rgb = jnp.repeat(xr[..., None], 3, axis=-1).astype(jnp.float32)
+        out = model.apply(p, rgb)
+        return vlad_aggregate(out["patches"].astype(jnp.float32), centers)
+
+    return apply_fn
+
+
 def load_encoder(path: Optional[str] = None, seed: int = 0,
                  arch: str = "tiny"):
     """Trained-encoder loader for eval/quality.py: returns a jitted
@@ -290,19 +330,32 @@ def load_encoder(path: Optional[str] = None, seed: int = 0,
     from mlis_tpu.models.weights import load_params_npz
 
     root = Path(__file__).resolve().parents[2]
-    default = CRICA_CKPT if arch == "cricavpr" else DEFAULT_CKPT
+    default = {
+        "cricavpr": CRICA_CKPT, "salad": SALAD_CKPT, "anyloc": ANYLOC_CKPT,
+    }.get(arch, DEFAULT_CKPT)
     p = Path(path) if path else root / default
     if not p.exists() and path and not Path(path).is_absolute():
         p = root / path  # relative paths resolve against the repo root
     if not p.exists():
         return None
-    model, params = _build_model(seed, arch=arch)
-    params = _match_dtypes(load_params_npz(str(p))["vpr"], params)
-    params = jax.device_put(params)
-    apply_fn = _make_apply(
-        model, CRICA_HW if arch == "cricavpr" else ENC_HW,
-        imagenet=arch == "cricavpr",
-    )
+    if arch == "anyloc":
+        # backbone = the parallax-trained tiny encoder; descriptors = VLAD
+        # over the vocabulary fitted on its features (--arch anyloc fit)
+        trees = load_params_npz(str(p))
+        model, params = _build_model(seed, arch="tiny")
+        params = jax.device_put(_match_dtypes(trees["vpr"], params))
+        centers = jnp.asarray(trees["vlad"]["centers"])
+        apply_fn = _anyloc_apply(model, centers)
+    else:
+        model, params = _build_model(seed, arch=arch)
+        params = _match_dtypes(load_params_npz(str(p))["vpr"], params)
+        params = jax.device_put(params)
+        apply_fn = _make_apply(
+            model,
+            {"cricavpr": CRICA_HW, "mixvpr": MIXVPR_HW}.get(arch, ENC_HW),
+            imagenet=arch in ("cricavpr", "mixvpr"),
+            pooling="module" if arch in ("mixvpr", "salad") else "gem",
+        )
 
     @jax.jit
     def encode(imgs):
@@ -337,6 +390,38 @@ def load_mixvpr_vpr(path: Optional[str] = None, seed: int = 0, **kw):
     return vpr
 
 
+def load_crica_tiny_vpr(path: Optional[str] = None, seed: int = 0,
+                        **crica_kw):
+    """CricaVPR patch-correlation rerank over the PARALLAX-TRAINED tiny
+    encoder (checkpoints/vpr_tiny_v2.npz): the rerank mechanism
+    (reference place_recognition.py:669-757) measured on a backbone with
+    real held-out recall (0.64) instead of the data-starved from-scratch
+    ViT-B (recall 0.203, checkpoints/vpr_crica_log.json). GeM p=3 + L2
+    matches the trainer's descriptor path bit-for-bit, so the global
+    scores ARE the trained encoder's; only the patch cache + correlation
+    rerank is added. Returns None when no checkpoint ships."""
+    from mlis_tpu.models.convert import _match_dtypes
+    from mlis_tpu.models.cricavpr import CricaVPR
+    from mlis_tpu.models.vit import ViTConfig
+    from mlis_tpu.models.weights import load_params_npz
+
+    root = Path(__file__).resolve().parents[2]
+    p = Path(path) if path else root / "checkpoints/vpr_tiny_v2.npz"
+    if not p.exists():
+        return None
+    vpr = CricaVPR(
+        descriptor_dim=64, seed=seed,
+        vit_cfg=ViTConfig.tiny_test(patch_size=8),
+        input_size=ENC_HW, imagenet_preproc=False, **crica_kw,
+    )
+    vpr.params = jax.device_put(
+        _match_dtypes(load_params_npz(str(p))["vpr"], vpr.params)
+    )
+    vpr._jit_forward = None
+    vpr._jit_full = None
+    return vpr
+
+
 def load_crica_vpr(path: Optional[str] = None, seed: int = 0,
                    **crica_kw):
     """Build a models/cricavpr.CricaVPR whose ViT-B/14 backbone carries
@@ -360,6 +445,95 @@ def load_crica_vpr(path: Optional[str] = None, seed: int = 0,
     return vpr
 
 
+def fit_anyloc(args) -> dict:
+    """AnyLoc has no gradient stage: the method is a VLAD vocabulary
+    k-means-fitted on DOMAIN features over a (frozen) backbone — the
+    reference fits it on indoor-scene DINOv2 features
+    (place_recognition.py:413-505). Here the backbone is the parallax-
+    trained tiny encoder (--init-from, default vpr_tiny_v2.npz) and the
+    vocabulary is fitted on fresh parallax-view patch features, then
+    scored with the same held-out recall@1 the gradient archs report."""
+    from mlis_tpu.models.convert import _match_dtypes
+    from mlis_tpu.models.weights import load_params_npz, save_params_npz
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    log_path = out.with_name(out.stem + "_log.json")
+    init = args.init_from or "checkpoints/vpr_tiny_v2.npz"
+    model, params = _build_model(args.seed, arch="tiny")
+    params = jax.device_put(
+        _match_dtypes(load_params_npz(init)["vpr"], params)
+    )
+    hw = (args.height, args.width)
+    H, W = ENC_HW
+
+    def patch_feats(x):  # (B, h, w) [0,1] -> (B*N, D)
+        xr = jax.image.resize(x, (x.shape[0], H, W), method="linear")
+        rgb = jnp.repeat(xr[..., None], 3, axis=-1).astype(jnp.float32)
+        o = model.apply(params, rgb)
+        return o["patches"].astype(jnp.float32).reshape(
+            -1, o["patches"].shape[-1]
+        )
+
+    @jax.jit
+    def sample_feats(key):
+        imgs, _ = _sample_batch_parallax(
+            key, args.places, args.views, hw, args.brightness
+        )
+        return patch_feats(imgs)
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(2_000_000 + args.seed)
+    feats = []
+    for _ in range(max(args.steps // 4, 2)):  # a few fresh batches
+        key, sub = jax.random.split(key)
+        feats.append(np.asarray(sample_feats(sub)))
+    feats = jnp.asarray(np.concatenate(feats))
+    print(f"vocabulary sample: {feats.shape[0]} patch features", flush=True)
+
+    K = args.clusters
+
+    @jax.jit
+    def kmeans_step(centers, f):
+        d2 = (
+            jnp.sum(f**2, 1, keepdims=True)
+            - 2 * f @ centers.T
+            + jnp.sum(centers**2, 1)
+        )
+        a = jax.nn.one_hot(jnp.argmin(d2, 1), centers.shape[0])
+        sums = a.T @ f
+        counts = jnp.sum(a, 0)[:, None]
+        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centers)
+
+    # k-means++-lite init: spread over the sample
+    centers = feats[
+        jax.random.choice(
+            jax.random.PRNGKey(args.seed), feats.shape[0], (K,),
+            replace=False,
+        )
+    ]
+    for _ in range(25):
+        centers = kmeans_step(centers, feats)
+    centers = jax.device_get(centers)
+
+    apply_fn = _anyloc_apply(model, jnp.asarray(centers))
+    r = heldout_recall(apply_fn, params, hw=hw, seed=args.seed,
+                       parallax=True)
+    wall = time.time() - t0
+    print(f"anyloc VLAD (K={K}) heldout parallax recall@1: {r:.4f} "
+          f"in {wall:.0f}s", flush=True)
+    save_params_npz(
+        str(out), vpr=jax.device_get(params),
+        vlad={"centers": centers},
+    )
+    history = {
+        "config": vars(args).copy(), "backbone": init,
+        "best_recall_at_1": r, "wall_s": wall,
+    }
+    log_path.write_text(json.dumps(history))
+    return history
+
+
 def main(argv=None) -> dict:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -376,12 +550,19 @@ def main(argv=None) -> dict:
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--arch", choices=("tiny", "cricavpr", "mixvpr"),
+    ap.add_argument("--arch",
+                    choices=("tiny", "cricavpr", "mixvpr", "salad",
+                             "anyloc"),
                     default="tiny",
                     help="'cricavpr' = full DINOv2-style ViT-B/14 at "
                     "322x322 + GeM; 'mixvpr' = full ResNet-50 + "
                     "feature-mixer at 320x320 (the reference's default "
-                    "VPR method)")
+                    "VPR method); 'salad' = Sinkhorn-OT aggregation head "
+                    "on a small ViT; 'anyloc' = NO gradient stage — fits "
+                    "the VLAD vocabulary on the trained tiny encoder's "
+                    "parallax patch features (--init-from)")
+    ap.add_argument("--clusters", type=int, default=32,
+                    help="anyloc VLAD vocabulary size")
     ap.add_argument("--parallax", action="store_true",
                     help="train on layered-scene SE(3) parallax views "
                     "(the v2 GT scene's corruption family) instead of "
@@ -401,7 +582,10 @@ def main(argv=None) -> dict:
     if args.out is None:
         args.out = {
             "cricavpr": CRICA_CKPT, "mixvpr": MIXVPR_CKPT,
+            "salad": SALAD_CKPT, "anyloc": ANYLOC_CKPT,
         }.get(args.arch, DEFAULT_CKPT)
+    if args.arch == "anyloc":
+        return fit_anyloc(args)
 
     from mlis_tpu.models.weights import save_params_npz
 
@@ -425,7 +609,7 @@ def main(argv=None) -> dict:
         model,
         arch_hw,
         imagenet=args.arch in ("cricavpr", "mixvpr"),
-        pooling="module" if args.arch == "mixvpr" else "gem",
+        pooling="module" if args.arch in ("mixvpr", "salad") else "gem",
     )
     hw = (args.height, args.width)
 

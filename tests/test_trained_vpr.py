@@ -175,3 +175,71 @@ def test_full_size_mixvpr_meets_milestones():
     assert rr["retrieval_recall"] >= rr_pix["retrieval_recall"] + 0.1, (
         rr, rr_pix,
     )
+
+
+CKPT_SALAD = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints", "vpr_salad.npz"
+)
+CKPT_ANYLOC = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints", "vpr_anyloc.npz"
+)
+
+
+@pytest.mark.smoke
+def test_salad_and_anyloc_arch_plumbing():
+    """The two remaining reference VPR encoders (place_recognition.py
+    :335-410 SALAD, :413-505 AnyLoc) train/fit through pretrain_vpr:
+    the SALAD arch builds + forwards at the trainer's input contract,
+    and the AnyLoc VLAD apply fn produces normalized descriptors."""
+    import jax.numpy as jnp
+
+    from mlis_tpu.train.pretrain_vpr import (
+        ENC_HW,
+        _anyloc_apply,
+        _build_model,
+        _make_apply,
+    )
+
+    model, params = _build_model(0, arch="salad")
+    apply_fn = _make_apply(model, ENC_HW, pooling="module")
+    x = jnp.linspace(0, 1, 2 * 96 * 128).reshape(2, 96, 128)
+    d = apply_fn(params, x)
+    assert d.shape == (2, 16 * 32 + 64)
+    assert np.allclose(np.linalg.norm(np.asarray(d), axis=1), 1.0, atol=1e-3)
+
+    tmodel, tparams = _build_model(0, arch="tiny")
+    centers = np.random.RandomState(0).randn(8, 64).astype(np.float32)
+    a = _anyloc_apply(tmodel, jnp.asarray(centers))
+    d2 = a(tparams, x)
+    assert d2.shape == (2, 8 * 64)
+    assert np.allclose(np.linalg.norm(np.asarray(d2), axis=1), 1.0, atol=1e-3)
+
+
+CKPT_V2_path = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints", "vpr_tiny_v2.npz"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(CKPT_V2_path),
+    reason="parallax VPR checkpoint not present",
+)
+def test_crica_tiny_rerank_runs_on_trained_features():
+    """load_crica_tiny_vpr: the CricaVPR patch-correlation rerank
+    (reference place_recognition.py:669-757) over the parallax-trained
+    tiny backbone. Its GLOBAL descriptors must match the plain trained
+    encoder (same GeM path), so the rerank A/B isolates the rerank."""
+    from mlis_tpu.train.pretrain_vpr import load_crica_tiny_vpr, load_encoder
+
+    v = load_crica_tiny_vpr()
+    assert v is not None
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (6, 135, 180), np.uint8
+    )
+    d = np.asarray(v.encode_batch_device(imgs))
+    assert d.shape == (6, 64) and len(v.patch_cache) == 6
+    e = load_encoder(os.path.abspath(CKPT_V2_path))
+    d2 = np.asarray(e(imgs))
+    assert np.abs(d - d2).max() < 5e-3
+    cc = v.rerank_scores_all(np.arange(6), np.tile(np.arange(6), (6, 1)))
+    assert cc.shape == (6, 6) and np.isfinite(cc).all()
