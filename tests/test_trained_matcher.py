@@ -208,3 +208,66 @@ def test_fullres_checkpoint_meets_recall_milestone():
     trained = MatcherTrainer(lg, hw).match_metrics(eval_imgs)
     assert trained["recall"] >= 0.6, trained
     assert trained["precision"] >= 0.3, trained
+
+
+# -- parallax-trained SuperGlue / LoFTR (round-5) -------------------------------
+
+CKPT_SG_PARALLAX = os.path.join(_CKPT_DIR, "superglue_parallax.npz")
+CKPT_SG_HOMOG = os.path.join(_CKPT_DIR, "superglue_homog.npz")
+
+
+def _build_superglue(max_kpts=512):
+    from mlis_tpu.models.lightglue import SuperGlue
+    from mlis_tpu.models.superpoint import SuperPointConfig
+
+    return SuperGlue(sp_cfg=SuperPointConfig(max_keypoints=max_kpts))
+
+
+def test_superglue_parallax_default_lookup():
+    from mlis_tpu.models.weights import (
+        default_parallax_superglue_checkpoint,
+        default_superglue_checkpoint,
+    )
+
+    got = default_parallax_superglue_checkpoint()
+    if os.path.exists(CKPT_SG_PARALLAX):
+        assert got.endswith("superglue_parallax.npz")
+    else:
+        assert got == default_superglue_checkpoint()
+
+
+def test_superglue_parallax_checkpoint_meets_recall_milestone():
+    """pretrain_matcher --arch superglue --parallax --sp-init: held-out
+    SE(3)-pair recall 0.562 at save time (chip). Unlike LightGlue, the
+    homography-trained Sinkhorn stack is already parallax-robust on raw
+    recall (0.66 on this CPU sample) — the parallax training buys
+    PRECISION (0.32 vs 0.29), so the pin compares match F1, and recall
+    cross-checkpoint comparisons are confounded anyway (different frozen
+    SuperPoints -> different GT correspondence sets)."""
+    if not os.path.exists(CKPT_SG_PARALLAX):
+        pytest.skip("parallax SuperGlue checkpoint not present")
+    from mlis_tpu.train.matcher_trainer import MatcherTrainer
+
+    hw = (270, 360)
+    key = jax.random.PRNGKey(777)
+
+    sg = _build_superglue()
+    sg.load_weights(CKPT_SG_PARALLAX, image_hw=hw)
+    par = MatcherTrainer(sg, hw, pair_mode="parallax").parallax_match_metrics(
+        n_pairs=8, key=key
+    )
+
+    sg_h = _build_superglue()
+    sg_h.load_weights(CKPT_SG_HOMOG, image_hw=hw)
+    homog = MatcherTrainer(
+        sg_h, hw, pair_mode="parallax"
+    ).parallax_match_metrics(n_pairs=8, key=key)
+
+    def f1(m):
+        return 2 * m["precision"] * m["recall"] / (
+            m["precision"] + m["recall"] + 1e-9
+        )
+
+    # save-time TPU recall 0.562; margin for CPU numerics + 8-pair sample
+    assert par["recall"] >= 0.30, par
+    assert f1(par) > f1(homog), (par, homog)
