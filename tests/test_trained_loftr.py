@@ -64,3 +64,56 @@ def test_shipped_loftr_improves_gate_decisions():
     assert trained["weights"] == os.path.basename(CKPT)
     assert trained["f1"] > rnd["f1"], (trained["f1"], rnd["f1"])
     assert trained["gating_effectiveness"] == 1.0
+
+
+# -- parallax-trained checkpoint (round-5) --------------------------------------
+
+CKPT_PARALLAX = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints", "loftr_parallax.npz"
+)
+
+
+def test_loftr_parallax_default_lookup():
+    from mlis_tpu.models.weights import (
+        default_loftr_checkpoint,
+        default_parallax_loftr_checkpoint,
+    )
+
+    got = default_parallax_loftr_checkpoint()
+    if os.path.exists(CKPT_PARALLAX):
+        assert got.endswith("loftr_parallax.npz")
+    else:
+        assert got == default_loftr_checkpoint()
+
+
+@pytest.mark.heavy
+def test_loftr_parallax_checkpoint_meets_recall_milestone():
+    """pretrain_loftr --parallax (warm-started from loftr_homog_v3):
+    held-out dense recall on layered SE(3) pairs with occlusion-aware
+    GT (LoFTRTrainer.parallax_match_metrics). The homography-trained v3
+    is the floor on the parallax distribution."""
+    if not os.path.exists(CKPT_PARALLAX):
+        pytest.skip("parallax LoFTR checkpoint not present")
+    from mlis_tpu.models.loftr import LoFTR, LoFTRConfig
+    from mlis_tpu.train.loftr_trainer import LoFTRTrainer
+
+    hw = (272, 360)
+    key = jax.random.PRNGKey(773)
+
+    lf = LoFTR(LoFTRConfig())
+    lf.load_weights(CKPT_PARALLAX, image_hw=hw)
+    par = LoFTRTrainer(
+        lf, hw, pair_mode="parallax"
+    ).parallax_match_metrics(n_pairs=4, key=key)
+
+    from mlis_tpu.models.weights import _shipped_checkpoint
+
+    v3 = _shipped_checkpoint("loftr_homog_v3.npz")
+    if v3:
+        lf_h = LoFTR(LoFTRConfig())
+        lf_h.load_weights(v3, image_hw=hw)
+        homog = LoFTRTrainer(
+            lf_h, hw, pair_mode="parallax"
+        ).parallax_match_metrics(n_pairs=4, key=key)
+        assert par["recall"] > homog["recall"], (par, homog)
+    assert par["recall"] >= 0.25, par
