@@ -37,5 +37,6 @@ run salad_train 4500 python -m mlis_tpu.train.pretrain_vpr --arch salad \
 run roofline 2700 env MLIS_BENCH_MODE=roofline python bench.py
 run roofline_fullres 2700 env MLIS_BENCH_MODE=roofline \
   MLIS_BENCH_ROOFLINE_RES=fullres python bench.py
+run intervention 3600 python experiments/encoder_intervention.py --seeds 0,1,2,3
 run quality2 4500 env MLIS_BENCH_MODE=quality2 python bench.py
 echo "=== campaign done ($(date +%T))" >> /tmp/r5_campaign.log
