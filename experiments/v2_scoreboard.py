@@ -34,6 +34,12 @@ def main(argv=None) -> dict:
     ap.add_argument("--top-k", type=int, default=16)
     ap.add_argument("--threshold", type=float, default=0.30)
     ap.add_argument("--out", default="results/quality_v2_scoreboard.json")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="load --out if present and skip families already recorded "
+        "(each family is checkpointed to --out as soon as it finishes, so "
+        "a timeout mid-sweep only loses the family in flight)",
+    )
     args = ap.parse_args(argv)
 
     from mlis_tpu.eval.quality import make_quality_scene_v2, run_gate_quality
@@ -53,6 +59,15 @@ def main(argv=None) -> dict:
 
     scenes = {}
     rows: dict = {"seeds": seeds, "families": {}}
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        if prior.get("seeds") == seeds:
+            rows["families"].update(prior.get("families", {}))
+            done = [f for f in families if f in rows["families"]]
+            families = [f for f in families if f not in rows["families"]]
+            print(f"[resume] skipping committed families: {done}",
+                  file=sys.stderr, flush=True)
     for seed in seeds:
         t0 = time.time()
         scenes[seed] = make_quality_scene_v2(seed=seed)
@@ -96,6 +111,9 @@ def main(argv=None) -> dict:
             "weights": per_seed[0]["weights"],
             "per_seed": per_seed,
         }
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
