@@ -651,6 +651,7 @@ def run_gate_quality(
     # calibration) can be swept on the GT scenes
     min_confident_matches: int = 6,
     loftr_match_threshold: Optional[float] = None,
+    return_pairs: bool = False,
 ) -> Dict:
     """Build the scene, run the full gate, score the decisions.
 
@@ -778,6 +779,21 @@ def run_gate_quality(
         "verified": res.verified,
         "geometrically_valid": res.geometrically_valid,
         "elapsed_s": res.elapsed_s,
+        # per-pair verification outcomes, for offline decision-rule
+        # sweeps (e.g. calibrating a confident-match cut without
+        # re-running the chip: is_valid here reflects the verifier AS
+        # CONFIGURED; num_confident_matches lets a post-hoc cut be
+        # applied exactly, since the cut is a pure host-side AND)
+        "pairs": [
+            {
+                "q": int(r.query_idx),
+                "m": int(r.match_idx),
+                "is_valid": bool(r.is_valid),
+                "num_inliers": int(r.num_inliers),
+                "num_confident_matches": int(r.num_confident_matches),
+            }
+            for r in res.results
+        ] if return_pairs else None,
     }
 
 
