@@ -1,0 +1,106 @@
+"""Pinned bands for the committed v2-scene family scoreboard and the
+LoFTR threshold de-leak artifacts (round-5 campaign, chip-measured).
+
+These pin the COMMITTED artifacts (results/*.json), not a re-run: the
+sweep costs ~1 h through the tunnel, so the regression surface is the
+artifact a future run must re-produce within band. Regenerate with
+
+    python experiments/v2_scoreboard.py --seeds 0,1,2,3,4,5,6,7
+    python experiments/loftr_heldout.py --seeds 4,5,6,7
+
+Reference capability measured: end decisions of the semantic gate on a
+parallax/occlusion/aliasing scene (semantic_evaluation.py:23-66 over
+the multi-floor aliasing problem of the reference README.md:9-11);
+family rows mirror the reference's matcher menu
+(geometric_verification.py:353-421 SuperGlue, :424-526 LoFTR).
+"""
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "results")
+SCOREBOARD = os.path.join(ROOT, "quality_v2_scoreboard.json")
+HELDOUT = os.path.join(ROOT, "loftr_heldout.json")
+
+pytestmark = pytest.mark.smoke
+
+
+def _load(path):
+    if not os.path.exists(path):
+        pytest.skip(f"{os.path.basename(path)} not committed")
+    with open(path) as f:
+        return json.load(f)
+
+
+class TestScoreboard:
+    def test_complete(self):
+        r = _load(SCOREBOARD)
+        assert r["seeds"] == list(range(8))
+        assert set(r["families"]) >= {"trained", "superglue", "orb", "loftr"}
+        for fam, d in r["families"].items():
+            assert len(d["per_seed"]) == 8, fam
+            # every row carries the encoder's retrieval recall
+            assert all(
+                e["retrieval_recall"] is not None for e in d["per_seed"]
+            ), fam
+
+    def test_parallax_checkpoints_used(self):
+        fams = _load(SCOREBOARD)["families"]
+        assert fams["trained"]["weights"] == "lightglue_parallax_sp.npz"
+        assert fams["superglue"]["weights"] == "superglue_parallax.npz"
+        assert fams["loftr"]["weights"] == "loftr_parallax.npz"
+        assert fams["orb"]["weights"] == "orb_weight_free"
+
+    def test_top_family_bands(self):
+        fams = _load(SCOREBOARD)["families"]
+        # parallax-trained LightGlue + LoFTR both clear 0.82 mean F1
+        # (measured 0.863 / 0.868) with high precision — the round-4
+        # provisional homography-stack number was 0.359
+        for fam in ("trained", "loftr"):
+            assert fams[fam]["f1_mean"] >= 0.82, fam
+            assert fams[fam]["precision_mean"] >= 0.90, fam
+
+    def test_nothing_saturates(self):
+        fams = _load(SCOREBOARD)["families"]
+        for fam, d in fams.items():
+            assert d["f1_mean"] <= 0.99, (fam, "scene saturated again")
+
+    def test_weight_free_floor(self):
+        orb = _load(SCOREBOARD)["families"]["orb"]
+        # weight-free ORB under parallax+scale: precise but low-recall
+        assert orb["precision_mean"] >= 0.95
+        assert 0.10 <= orb["f1_mean"] <= 0.50
+
+    def test_superglue_uncut_diagnosis(self):
+        # the committed superglue row is WITHOUT the confident-match cut
+        # (build_verifier historically never applied it to SuperGlue):
+        # high recall, collapsed precision. superglue_cut.json carries
+        # the calibrated fix; this pins the diagnosis honestly.
+        sg = _load(SCOREBOARD)["families"]["superglue"]
+        assert sg["recall_mean"] >= 0.70
+        assert sg["f1_mean"] >= 0.25
+
+    def test_retrieval_is_binding_for_top_families(self):
+        r = _load(SCOREBOARD)
+        rr = [
+            e["retrieval_recall"]
+            for e in r["families"]["trained"]["per_seed"]
+        ]
+        rr_mean = sum(rr) / len(rr)
+        assert 0.70 <= rr_mean <= 0.95  # vpr_tiny_v2 band (measured 0.806)
+        # end recall cannot exceed retrieval recall; top families sit
+        # near the ceiling (within 0.08 of it)
+        assert r["families"]["trained"]["recall_mean"] <= rr_mean + 1e-9
+        assert r["families"]["trained"]["recall_mean"] >= rr_mean - 0.08
+
+
+class TestLoftrHeldout:
+    def test_heldout_band(self):
+        r = _load(HELDOUT)
+        assert r["seeds"] == [4, 5, 6, 7]
+        # selection (seeds 0-3) mean was 0.929; the fixed 0.05 threshold
+        # must generalize: measured held-out mean 0.940, precision 1.0
+        assert r["f1_mean"] >= 0.85
+        assert r["precision_mean"] >= 0.99
