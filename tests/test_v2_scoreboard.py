@@ -104,3 +104,16 @@ class TestLoftrHeldout:
         # must generalize: measured held-out mean 0.940, precision 1.0
         assert r["f1_mean"] >= 0.85
         assert r["precision_mean"] >= 0.99
+
+
+class TestRerankArtifact:
+    def test_rerank_null_result(self):
+        r = _load(os.path.join(ROOT, "rerank_scoreboard.json"))
+        assert "vpr_tiny_v2" in r["backbone"]
+        # measured: identical retrieval recall and mean F1 to 3 decimals
+        # (per-seed deltas -0.007..+0.009). Pin the null result with a
+        # little slack so a re-run doesn't flap.
+        assert abs(r["rr_on_mean"] - r["rr_off_mean"]) <= 0.02
+        assert abs(r["f1_on_mean"] - r["f1_off_mean"]) <= 0.03
+        for e in r["per_seed"]:
+            assert abs(e["f1_on"] - e["f1_off"]) <= 0.05, e
