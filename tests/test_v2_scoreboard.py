@@ -117,3 +117,19 @@ class TestRerankArtifact:
         assert abs(r["f1_on_mean"] - r["f1_off_mean"]) <= 0.03
         for e in r["per_seed"]:
             assert abs(e["f1_on"] - e["f1_off"]) <= 0.05, e
+
+
+class TestRooflineArtifacts:
+    def test_memory_bound_proof(self):
+        half = _load(os.path.join(ROOT, "roofline_halfres.json"))
+        full = _load(os.path.join(ROOT, "roofline_fullres.json"))
+        # HBM-bound stages hold >= 80% of stage time on both protocols
+        assert half["value"] >= 0.80
+        assert full["value"] >= 0.80
+        # fullres mega MFU clears the round-3 task-3 bar
+        assert full["vs_baseline"] >= 0.20
+        # match dominates and, at fullres, runs at the HBM roofline
+        assert full["stages"]["match"]["frac_hbm"] >= 0.9
+        for d in (half, full):
+            total = sum(s["seconds"] for s in d["stages"].values())
+            assert d["stages"]["match"]["seconds"] / total >= 0.5
