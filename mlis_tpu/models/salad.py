@@ -65,10 +65,17 @@ class SALADModule(nn.Module):
     num_clusters: int = 64
     cluster_dim: int = 128
     token_dim: int = 256
+    # None = Pallas fused attention on TPU (inference). Training must
+    # pass False: pallas_call has no VJP rule, so differentiating the
+    # backbone under grad raises "Linearization failed ..." — the same
+    # reason _build_model builds the tiny/cricavpr ViTs with
+    # use_pallas=False (XLA's fused attention is used for the bwd pass).
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, images):
-        out = ViT(self.vit_cfg, name="backbone")(images)
+        out = ViT(self.vit_cfg, use_pallas=self.use_pallas,
+                  name="backbone")(images)
         return SALADHead(
             self.num_clusters, self.cluster_dim, self.token_dim, name="head"
         )(out["patches"], out["cls"])

@@ -93,7 +93,8 @@ def _build_model(seed: int = 0, arch: str = "tiny"):
             dim=128, depth=4, num_heads=4, patch_size=8, pos_grid=12
         )
         model = SALADModule(
-            cfg, num_clusters=16, cluster_dim=32, token_dim=64
+            cfg, num_clusters=16, cluster_dim=32, token_dim=64,
+            use_pallas=False,  # pallas_call has no VJP; train via XLA attn
         )
         params = model.init(
             jax.random.PRNGKey(seed),
