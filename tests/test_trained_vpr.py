@@ -243,3 +243,30 @@ def test_crica_tiny_rerank_runs_on_trained_features():
     assert np.abs(d - d2).max() < 5e-3
     cc = v.rerank_scores_all(np.arange(6), np.tile(np.arange(6), (6, 1)))
     assert cc.shape == (6, 6) and np.isfinite(cc).all()
+
+
+@pytest.mark.skipif(
+    not os.path.exists(CKPT_SALAD),
+    reason="trained SALAD checkpoint not present",
+)
+def test_salad_checkpoint_meets_milestone():
+    """The shipped in-env-trained SALAD encoder (pretrain_vpr --arch
+    salad --parallax, round 5): held-out parallax recall@1 well above
+    the 1/64 chance floor, and the checkpoint loads through the same
+    load_encoder path quality2's rr_salad row uses."""
+    import json
+
+    log = json.load(open(CKPT_SALAD.replace(".npz", "_log.json")))
+    assert log["best_recall_at_1"] >= 0.25  # measured 0.344; chance 0.016
+    assert log["config"]["parallax"] is True
+
+    from mlis_tpu.train.pretrain_vpr import load_encoder
+
+    enc = load_encoder(arch="salad")
+    assert enc is not None
+    imgs = np.random.RandomState(1).randint(
+        0, 255, (4, 135, 180), np.uint8
+    ).astype(np.float32) / 255.0
+    d = np.asarray(enc(imgs))
+    assert d.shape == (4, 16 * 32 + 64)
+    assert np.allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-3)
