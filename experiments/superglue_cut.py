@@ -89,6 +89,12 @@ def main(argv=None) -> dict:
             f"p={out['precision']:.3f} r={out['recall']:.3f} "
             f"({time.time() - t0:.1f}s)", file=sys.stderr, flush=True,
         )
+        # checkpoint raw per-pair capture after every seed: a timeout
+        # mid-sweep keeps the completed seeds' evidence (the cut sweep
+        # itself is free offline)
+        os.makedirs("results", exist_ok=True)
+        with open(args.out + ".partial", "w") as f:
+            json.dump({str(s): d for s, d in per_seed.items()}, f)
 
     sweep = {}
     for cut in CUTS:
