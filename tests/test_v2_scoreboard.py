@@ -133,3 +133,27 @@ class TestRooflineArtifacts:
         for d in (half, full):
             total = sum(s["seconds"] for s in d["stages"].values())
             assert d["stages"]["match"]["seconds"] / total >= 0.5
+
+
+class TestEncoderRows:
+    def test_four_encoder_menu_complete(self):
+        r = _load(os.path.join(ROOT, "vpr_encoder_rows.json"))
+        encs = r["encoders"]
+        # the reference's full VPR menu (place_recognition.py:829-841)
+        # plus the pixel floor and the deployed tiny encoder
+        assert {"pixel", "trained_vpr_v2", "mixvpr_trained",
+                "salad", "anyloc"} <= set(encs)
+        # every trained encoder beats the pixel floor (measured 0.488)
+        pix = encs["pixel"]["retrieval_recall_mean"]
+        for name in ("trained_vpr_v2", "mixvpr_trained", "salad", "anyloc"):
+            assert encs[name]["retrieval_recall_mean"] > pix + 0.05, name
+        # MixVPR is the best v2 retriever (measured 0.844 vs tiny 0.770)
+        assert (encs["mixvpr_trained"]["retrieval_recall_mean"]
+                >= encs["trained_vpr_v2"]["retrieval_recall_mean"])
+
+    def test_floor_gate_ablation(self):
+        r = _load(os.path.join(ROOT, "vpr_encoder_rows.json"))
+        # without the floor gate the aliased traps verify: precision
+        # collapses (measured 0.175 / F1 0.287 vs 0.873 gated, seed 0)
+        assert r["precision_no_floor_gate"] <= 0.5
+        assert r["f1_no_floor_gate"] <= 0.5
