@@ -506,6 +506,11 @@ def retrieval_metrics(
     }
 
 
+# calibrated SuperGlue-family confident-match cut (select: v2 seeds 0-3,
+# validate: 4-7 — experiments/superglue_cut.py, results/superglue_cut.json)
+SUPERGLUE_CONFIDENT_CUT = 16
+
+
 def build_verifier(
     matcher: str,
     max_keypoints: int,
@@ -567,7 +572,20 @@ def build_verifier(
         if path and os.path.exists(path):
             sg.load_weights(path, image_hw=hw)
             weights = os.path.basename(path)
-        return GeometricVerifier(matcher=sg), weights
+        # SuperGlue's confident-match cut: historically NEVER applied to
+        # this branch, which collapsed v2-scene precision to 0.25 while
+        # LightGlue (cut 6) held 0.98. Calibrated on v2 seeds 0-3 /
+        # validated on 4-7 (results/superglue_cut.json, round 5):
+        # cut 16 lifts held-out F1 0.384 -> 0.605. Sinkhorn transport
+        # confidences sit higher than dual-softmax ones, hence the
+        # family-specific default (the shared `min_confident_matches`
+        # arg keeps meaning "the LightGlue-family cut").
+        return (
+            GeometricVerifier(
+                matcher=sg, min_confident_matches=SUPERGLUE_CONFIDENT_CUT
+            ),
+            weights,
+        )
 
     weights = "random_init"
     path = None

@@ -73,14 +73,33 @@ class TestScoreboard:
         assert orb["precision_mean"] >= 0.95
         assert 0.10 <= orb["f1_mean"] <= 0.50
 
-    def test_superglue_uncut_diagnosis(self):
-        # the committed superglue row is WITHOUT the confident-match cut
-        # (build_verifier historically never applied it to SuperGlue):
-        # high recall, collapsed precision. superglue_cut.json carries
-        # the calibrated fix; this pins the diagnosis honestly.
+    def test_superglue_diagnosis_or_calibrated(self):
+        # the committed superglue row was measured WITHOUT the
+        # confident-match cut (build_verifier historically never applied
+        # it to SuperGlue): high recall, collapsed precision (0.81/0.25).
+        # The calibrated cut (results/superglue_cut.json) later became
+        # the build_verifier default, so a REGENERATED scoreboard shows
+        # the post-cut row (~0.60/0.58) instead. Accept either
+        # generation, pinning each to its own band.
         sg = _load(SCOREBOARD)["families"]["superglue"]
-        assert sg["recall_mean"] >= 0.70
-        assert sg["f1_mean"] >= 0.25
+        if sg["precision_mean"] < 0.45:  # pre-cut generation
+            assert sg["recall_mean"] >= 0.70
+            assert sg["f1_mean"] >= 0.25
+        else:  # post-cut generation
+            assert sg["f1_mean"] >= 0.50
+
+    def test_superglue_cut_calibration(self):
+        r = _load(os.path.join(ROOT, "superglue_cut.json"))
+        assert r["select_seeds"] == [0, 1, 2, 3]
+        assert r["holdout_seeds"] == [4, 5, 6, 7]
+        # measured: chosen cut 16, held-out F1 0.384 (uncut) -> 0.605
+        assert r["chosen_cut"] >= 8
+        assert r["chosen_holdout_f1"] >= r["uncut_holdout_f1"] + 0.10
+        assert r["chosen_holdout_f1"] >= 0.55
+        from mlis_tpu.eval.quality import SUPERGLUE_CONFIDENT_CUT
+
+        # the productized default IS the calibrated value
+        assert SUPERGLUE_CONFIDENT_CUT == r["chosen_cut"]
 
     def test_retrieval_is_binding_for_top_families(self):
         r = _load(SCOREBOARD)
