@@ -11,6 +11,12 @@ The committed scoreboard is produced by running this on the chip:
 Reference capability being measured: the semantic gate's end decisions
 on a parallax/occlusion/aliasing scene (semantic_evaluation.py:23-66
 on the multi-floor aliasing problem of the reference README.md:9-11).
+
+NOTE: the committed superglue row predates the calibrated
+confident-match cut that build_verifier now applies by default
+(results/superglue_cut.json); regenerating moves that family from the
+diagnosis band (~0.38) to the calibrated one (~0.60) — the scoreboard
+pin accepts either generation.
 """
 
 from __future__ import annotations
